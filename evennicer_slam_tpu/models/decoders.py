@@ -1,0 +1,282 @@
+"""NICE (4-MLP hierarchical) and iMAP (single-MLP) decoders as pytrees.
+
+Functional re-design of reference src/conv_onet/models/decoder.py:7-343:
+
+- parameters are plain nested dicts (optax-friendly, shardable),
+- the Gaussian-Fourier positional embedding (93-dim, scale 25, learnable B),
+  5-block width-32 MLPs with a skip at block 2 and per-block feature
+  injection ``h += fc_c[i](c)`` are reproduced exactly,
+- the staged forward ('coarse' | 'middle' | 'fine' | 'color') matches
+  NICE.forward (decoder.py:312-342): fine occupancy = fine + middle, color
+  stage returns the color decoder's rgb with the fine+middle occupancy,
+- grid features come from ops.grid_sample (trilinear, border, align-corners),
+- the fine decoder's middle-feature concat is wrapped in stop_gradient,
+  matching the reference's ``torch.no_grad()`` (decoder.py:183-187).
+
+All matmuls sit on the MXU; points are processed as one [N, *] batch.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evennicer_slam_tpu.core.bounds import normalize_3d_coordinate
+from evennicer_slam_tpu.ops.grid_sample import sample_grid_trilinear
+
+EMBEDDING_SIZE = 93
+FOURIER_SCALE = 25.0
+
+
+# ---------------------------------------------------------------------------
+# initialization (matches torch defaults used by the reference)
+# ---------------------------------------------------------------------------
+
+def _xavier_uniform(key, shape, gain: float):
+    fan_in, fan_out = shape[0], shape[1]
+    a = gain * np.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, minval=-a, maxval=a)
+
+
+def _torch_linear_default(key, shape):
+    # torch nn.Linear default: kaiming_uniform(a=sqrt(5)) == U(+-1/sqrt(fan_in))
+    bound = 1.0 / np.sqrt(shape[0])
+    return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
+
+
+def _init_mlp(
+    key: jax.Array,
+    c_dim: int,
+    hidden: int,
+    n_blocks: int,
+    skips,
+    color: bool,
+    concat_feature: bool,
+    pos_embedding: bool = True,
+) -> Dict[str, Any]:
+    """Parameters for one reference-`MLP` (decoder.py:91-203).
+
+    Weights are stored [in, out] (row-vector convention: y = x @ W + b).
+    """
+    relu_gain = np.sqrt(2.0)
+    # NOTE: params hold ONLY arrays (optax/jit-safe); architecture facts
+    # (skip positions, color head) are inferred from weight shapes in forward.
+    params: Dict[str, Any] = {}
+    keys = jax.random.split(key, 4 + 3 * n_blocks)
+    ki = iter(range(len(keys)))
+
+    if pos_embedding:
+        params["B"] = jax.random.normal(keys[next(ki)], (3, EMBEDDING_SIZE)) * FOURIER_SCALE
+        emb = EMBEDDING_SIZE
+    else:
+        emb = 3
+
+    feat_dim = c_dim * (2 if concat_feature else 1)
+    lin_w, lin_b = [], []
+    in_dim = emb
+    for i in range(n_blocks):
+        w = _xavier_uniform(keys[next(ki)], (in_dim, hidden), relu_gain)
+        lin_w.append(w)
+        lin_b.append(jnp.zeros((hidden,)))
+        in_dim = hidden + emb if i in skips else hidden
+    params["lin_w"] = lin_w
+    params["lin_b"] = lin_b
+
+    if c_dim != 0:
+        fc_w, fc_b = [], []
+        for _ in range(n_blocks):
+            k1 = keys[next(ki)]
+            fc_w.append(_torch_linear_default(k1, (feat_dim, hidden)))
+            bound = 1.0 / np.sqrt(feat_dim)
+            fc_b.append(jax.random.uniform(k1, (hidden,), minval=-bound, maxval=bound))
+        params["fc_w"] = fc_w
+        params["fc_b"] = fc_b
+
+    out_dim = 4 if color else 1
+    params["out_w"] = _xavier_uniform(keys[next(ki)], (in_dim, out_dim), 1.0)
+    params["out_b"] = jnp.zeros((out_dim,))
+    return params
+
+
+def _init_mlp_no_xyz(key, c_dim, hidden, n_blocks, skips, color) -> Dict[str, Any]:
+    """Parameters for reference `MLP_no_xyz` (decoder.py:206-274): the grid
+    feature itself is the input; no positional embedding."""
+    relu_gain = np.sqrt(2.0)
+    params: Dict[str, Any] = {}
+    keys = jax.random.split(key, 2 + n_blocks)
+    lin_w, lin_b = [], []
+    in_dim = hidden  # reference layer 0 is DenseLayer(hidden, hidden); c_dim == hidden
+    for i in range(n_blocks):
+        lin_w.append(_xavier_uniform(keys[i], (in_dim, hidden), relu_gain))
+        lin_b.append(jnp.zeros((hidden,)))
+        in_dim = hidden + c_dim if i in skips else hidden
+    params["lin_w"] = lin_w
+    params["lin_b"] = lin_b
+    out_dim = 4 if color else 1
+    params["out_w"] = _xavier_uniform(keys[-1], (in_dim, out_dim), 1.0)
+    params["out_b"] = jnp.zeros((out_dim,))
+    return params
+
+
+def init_nice_decoders(
+    key: jax.Array,
+    c_dim: int = 32,
+    hidden_size: int = 32,
+    coarse: bool = False,
+) -> Dict[str, Any]:
+    """The NICE decoder family (reference NICE.__init__, decoder.py:293-310)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    dec = {
+        "middle": _init_mlp(k1, c_dim, hidden_size, 5, (2,), False, False),
+        "fine": _init_mlp(k2, c_dim, hidden_size, 5, (2,), False, True),
+        "color": _init_mlp(k3, c_dim, hidden_size, 5, (2,), True, False),
+    }
+    if coarse:
+        dec["coarse"] = _init_mlp_no_xyz(k4, c_dim, hidden_size, 5, (2,), False)
+    return dec
+
+
+def init_imap_decoder(key: jax.Array) -> Dict[str, Any]:
+    """iMAP*: single MLP, c_dim=0, hidden 256, 4 blocks, no skips, color
+    (reference src/conv_onet/config.py:28-32)."""
+    return {"imap": _init_mlp(key, 0, 256, 4, (), True, False)}
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+def _mlp_forward(
+    params: Dict[str, Any],
+    p: jnp.ndarray,
+    feat: Optional[jnp.ndarray],
+) -> jnp.ndarray:
+    """Reference MLP.forward (decoder.py:177-203). p: [N,3]; feat: [N,c].
+
+    Skip positions and the color head are inferred from weight shapes
+    (a layer expecting ``hidden + emb`` inputs marks a preceding skip).
+    """
+    if "B" in params:
+        emb = jnp.sin(p @ params["B"])
+    else:
+        emb = p
+    emb_dim = emb.shape[-1]
+    h = emb
+    n_blocks = len(params["lin_w"])
+    for i, (w, b) in enumerate(zip(params["lin_w"], params["lin_b"])):
+        h = jax.nn.relu(h @ w + b)
+        if feat is not None:
+            h = h + feat @ params["fc_w"][i] + params["fc_b"][i]
+        hidden = w.shape[1]
+        next_in = (
+            params["lin_w"][i + 1].shape[0]
+            if i + 1 < n_blocks
+            else params["out_w"].shape[0]
+        )
+        if next_in == hidden + emb_dim:
+            h = jnp.concatenate([emb, h], axis=-1)
+    out = h @ params["out_w"] + params["out_b"]
+    if params["out_w"].shape[1] == 1:
+        out = out[..., 0]
+    return out
+
+
+def _mlp_no_xyz_forward(params: Dict[str, Any], feat: jnp.ndarray) -> jnp.ndarray:
+    """Reference MLP_no_xyz.forward (decoder.py:262-274)."""
+    h = feat
+    feat_dim = feat.shape[-1]
+    n_blocks = len(params["lin_w"])
+    for i, (w, b) in enumerate(zip(params["lin_w"], params["lin_b"])):
+        h = jax.nn.relu(h @ w + b)
+        hidden = w.shape[1]
+        next_in = (
+            params["lin_w"][i + 1].shape[0]
+            if i + 1 < n_blocks
+            else params["out_w"].shape[0]
+        )
+        if next_in == hidden + feat_dim:
+            h = jnp.concatenate([feat, h], axis=-1)
+    out = h @ params["out_w"] + params["out_b"]
+    if params["out_w"].shape[1] == 1:
+        out = out[..., 0]
+    return out
+
+
+def _grid_feat(grids, level: str, p: jnp.ndarray, bound: jnp.ndarray) -> jnp.ndarray:
+    p_nor = normalize_3d_coordinate(p, bound)
+    return sample_grid_trilinear(grids[level], p_nor)
+
+
+def nice_forward(
+    decoders: Dict[str, Any],
+    grids: Dict[str, jnp.ndarray],
+    p: jnp.ndarray,
+    bound: jnp.ndarray,
+    stage: str,
+    coarse_bound_enlarge: float = 2.0,
+) -> jnp.ndarray:
+    """Staged NICE forward (reference NICE.forward, decoder.py:312-342).
+
+    p: [N, 3] world points -> raw [N, 4] (rgb, occ). ``stage`` is static.
+    """
+    if stage == "coarse":
+        cb = bound * coarse_bound_enlarge
+        feat = _grid_feat(grids, "coarse", p, cb)
+        occ = _mlp_no_xyz_forward(decoders["coarse"], feat)
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1
+        )
+
+    if stage == "middle":
+        feat = _grid_feat(grids, "middle", p, bound)
+        occ = _mlp_forward(decoders["middle"], p, feat)
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1
+        )
+
+    middle_feat = _grid_feat(grids, "middle", p, bound)
+    fine_feat = jnp.concatenate(
+        [_grid_feat(grids, "fine", p, bound), jax.lax.stop_gradient(middle_feat)],
+        axis=-1,
+    )
+    fine_occ = _mlp_forward(decoders["fine"], p, fine_feat)
+    middle_occ = _mlp_forward(decoders["middle"], p, middle_feat)
+    occ = fine_occ + middle_occ
+
+    if stage == "fine":
+        return jnp.concatenate(
+            [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1
+        )
+    if stage == "color":
+        color_feat = _grid_feat(grids, "color", p, bound)
+        raw = _mlp_forward(decoders["color"], p, color_feat)
+        return jnp.concatenate([raw[..., :3], occ[..., None]], axis=-1)
+    raise ValueError(f"unknown stage {stage!r}")
+
+
+def imap_forward(decoders: Dict[str, Any], p: jnp.ndarray) -> jnp.ndarray:
+    """iMAP single-MLP forward -> raw [N, 4]."""
+    return _mlp_forward(decoders["imap"], p, None)
+
+
+def decoder_forward(
+    decoders: Dict[str, Any],
+    grids: Optional[Dict[str, jnp.ndarray]],
+    p: jnp.ndarray,
+    bound: jnp.ndarray,
+    stage: str,
+    nice: bool = True,
+    coarse_bound_enlarge: float = 2.0,
+) -> jnp.ndarray:
+    """Unified entry: NICE (with grids) or iMAP (grid-free)."""
+    if nice:
+        return nice_forward(decoders, grids, p, bound, stage, coarse_bound_enlarge)
+    return imap_forward(decoders, p)
+
+
+def decoder_param_labels(decoders: Dict[str, Any]):
+    """Optax labels: all decoder params share the 'decoders' LR group."""
+    return jax.tree.map(lambda _: "decoders", decoders)
