@@ -90,32 +90,45 @@ def render_box_views(
     return colors.reshape(H, W, 3), depth.reshape(H, W).astype(np.float32)
 
 
+def _look_at(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
+    """c2w rotation for a camera at ``eye`` looking at ``target`` (camera
+    convention of core.rays: x right, y up, z backward)."""
+    fwd = target - eye
+    fwd = fwd / np.linalg.norm(fwd)
+    z = -fwd
+    up = np.array([0.0, 0.0, 1.0])
+    x = np.cross(up, z)
+    nx = np.linalg.norm(x)
+    if nx < 1e-6:  # looking straight up/down
+        up = np.array([0.0, 1.0, 0.0])
+        x = np.cross(up, z)
+        nx = np.linalg.norm(x)
+    x = x / nx
+    y = np.cross(z, x)
+    R = np.stack([x, y, z], axis=1)
+    c2w = np.eye(4, dtype=np.float32)
+    c2w[:3, :3] = R
+    c2w[:3, 3] = eye
+    return c2w
+
+
 def circular_trajectory(
-    n: int, center: np.ndarray, radius: float = 0.4, height_amp: float = 0.1
+    n: int, center: np.ndarray, radius: float = 0.3, height_amp: float = 0.05
 ) -> np.ndarray:
-    """Smooth camera path inside the room, looking outward along -z after the
-    reference's y/z-flip convention. Returns [n, 4, 4] c2w (already flipped
-    like traj.txt values after loading)."""
+    """Smooth camera path inside the room: the eye orbits the center while the
+    gaze pans along the walls (so views hit corners — varied depth gives
+    tracking a full 6-DoF signal). Returns [n, 4, 4] c2w."""
     poses = []
     for k in range(n):
         th = 2.0 * np.pi * k / max(n, 1) * 0.25  # quarter turn over the run
         eye = center + np.array(
             [radius * np.cos(th), radius * np.sin(th), height_amp * np.sin(2 * th)]
         )
-        yaw = th + 0.3
-        pitch = 0.1 * np.sin(3 * th)
-        # camera looks along its -z in the flipped convention
-        Rz = np.array(
-            [[np.cos(yaw), -np.sin(yaw), 0], [np.sin(yaw), np.cos(yaw), 0], [0, 0, 1]]
+        gaze = th + 0.6  # pan ahead of the eye position
+        target = center + np.array(
+            [2.0 * np.cos(gaze), 2.0 * np.sin(gaze), 0.3 * np.sin(3 * th)]
         )
-        Rx = np.array(
-            [[1, 0, 0], [0, np.cos(pitch), -np.sin(pitch)], [0, np.sin(pitch), np.cos(pitch)]]
-        )
-        R = Rz @ Rx
-        c2w = np.eye(4, dtype=np.float32)
-        c2w[:3, :3] = R
-        c2w[:3, 3] = eye
-        poses.append(c2w)
+        poses.append(_look_at(eye, target))
     return np.stack(poses)
 
 

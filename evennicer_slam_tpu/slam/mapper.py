@@ -1,0 +1,624 @@
+"""Mapper: joint scene + (optionally) pose optimization, fully jit-compiled.
+
+TPU-native rebuild of reference src/Mapper.py:21-879. One compiled program
+runs an entire mapping call: the staged middle -> fine -> color schedule is
+three sequential on-device loops with *dynamic* iteration counts and
+*dynamic* per-group learning rates, so first-frame (1500 iters, lr x5),
+steady-state (60 iters), and color-refinement calls all reuse the same
+executable.
+
+Reference semantics preserved:
+- keyframe window = (mapping_window_size - 2 selected) + last keyframe +
+  current frame; ``pixels // len(window)`` rays per window frame
+  (src/Mapper.py:287-317),
+- staged LR schedule via param groups (decoders, coarse/middle/fine/color
+  grids) from cfg['mapping']['stage'] (src/Mapper.py:460-485); Adam moments
+  persist across stages within a call and reset between calls,
+- frustum feature selection restricts grid updates to visible nodes; realized
+  here as a gradient mask instead of gather/scatter (src/Mapper.py:448-458),
+- BA: window poses optimized (oldest fixed) with BA_cam_lr only in the color
+  stage (src/Mapper.py:374-391,481-485),
+- loss = masked depth L1 + w_color * color L1 (color stage only) +
+  5e-4 * |sigma| regulation for iMAP (src/Mapper.py:556-570),
+- the event-supervision path (second optimizer that excludes the color grid,
+  blur kernel [3], balancer pixels/(w*h)/100) is implemented and exposed as
+  ``use_events`` — the reference has the code but hardwires it off
+  (src/Mapper.py:811-823).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evennicer_slam_tpu.core.bounds import inside_bound_mask
+from evennicer_slam_tpu.core.quaternion import (
+    pose_matrix_from_tensor,
+    tensor_from_pose_matrix,
+)
+from evennicer_slam_tpu.core.rays import get_rays_rescale, rays_from_uv
+from evennicer_slam_tpu.models.eventnet import inference_event
+from evennicer_slam_tpu.ops.gaussian_blur import gaussian_blur
+from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
+from evennicer_slam_tpu.render.renderer import (
+    RenderSettings,
+    regulation_sigma,
+    render_rays,
+)
+from evennicer_slam_tpu.slam.camera import Camera
+from evennicer_slam_tpu.slam.keyframes import (
+    KeyframeStore,
+    frustum_feature_mask,
+    keyframe_selection_overlap,
+    random_select,
+)
+from evennicer_slam_tpu.utils.optim import AdamState, adam_init, adam_update
+
+
+class MapperConfig(NamedTuple):
+    pixels: int = 1000
+    iters: int = 60
+    iters_first: int = 1500
+    lr_first_factor: float = 5.0
+    lr_factor: float = 1.0
+    middle_iter_ratio: float = 0.4
+    fine_iter_ratio: float = 0.6
+    every_frame: int = 5
+    window_size: int = 5
+    keyframe_every: int = 50
+    keyframe_selection: str = "overlap"
+    frustum_feature_selection: bool = True
+    BA: bool = False
+    BA_cam_lr: float = 0.001
+    fix_fine: bool = True
+    fix_color: bool = False
+    w_color_loss: float = 0.2
+    color_refine: bool = True
+    use_events: bool = False
+    event_scale_factor: float = 0.15
+    imap_decoders_lr: float = 0.0002
+    stage_lrs: Tuple[Tuple[str, Tuple[float, float, float, float, float]], ...] = ()
+
+    @staticmethod
+    def from_cfg(cfg: Dict[str, Any], use_events: bool = False) -> "MapperConfig":
+        m = cfg["mapping"]
+        stage_lrs = tuple(
+            (
+                s,
+                (
+                    m["stage"][s]["decoders_lr"],
+                    m["stage"][s]["coarse_lr"],
+                    m["stage"][s]["middle_lr"],
+                    m["stage"][s]["fine_lr"],
+                    m["stage"][s]["color_lr"],
+                ),
+            )
+            for s in ("coarse", "middle", "fine", "color")
+        ) if "stage" in m else ()
+        return MapperConfig(
+            pixels=m["pixels"],
+            iters=m["iters"],
+            iters_first=m["iters_first"],
+            lr_first_factor=m["lr_first_factor"],
+            lr_factor=m["lr_factor"],
+            middle_iter_ratio=m["middle_iter_ratio"],
+            fine_iter_ratio=m["fine_iter_ratio"],
+            every_frame=m["every_frame"],
+            window_size=m["mapping_window_size"],
+            keyframe_every=m["keyframe_every"],
+            keyframe_selection=m["keyframe_selection_method"],
+            frustum_feature_selection=m["frustum_feature_selection"],
+            BA=m["BA"],
+            BA_cam_lr=m["BA_cam_lr"],
+            fix_fine=m["fix_fine"],
+            fix_color=m["fix_color"],
+            w_color_loss=m["w_color_loss"],
+            color_refine=m["color_refine"],
+            use_events=use_events,
+            event_scale_factor=cfg.get("event", {}).get("scale_factor", 0.15),
+            imap_decoders_lr=m.get("imap_decoders_lr", 0.0002),
+            stage_lrs=stage_lrs,
+        )
+
+    def stage_lr_dict(self, stage: str) -> Dict[str, float]:
+        for s, (dec, co, mid, fi, col) in self.stage_lrs:
+            if s == stage:
+                return {
+                    "decoders": dec, "coarse": co, "middle": mid,
+                    "fine": fi, "color": col,
+                }
+        raise KeyError(stage)
+
+
+# ---------------------------------------------------------------------------
+# device-side mapping program
+# ---------------------------------------------------------------------------
+
+def _window_c2w(cam_tensors, fixed_c2w, ba: bool):
+    """Per-slot camera matrices [K, 3, 4]: from optimizable tensors under BA,
+    else the fixed estimates."""
+    if ba:
+        return jax.vmap(pose_matrix_from_tensor)(cam_tensors)
+    return fixed_c2w[:, :3, :]
+
+
+def _sample_window_rays(key, c2ws, colors, depths, pix_per_img, cam: Camera):
+    """Sample ``pix_per_img`` rays from each of K window frames; flatten."""
+    K = colors.shape[0]
+    keys = jax.random.split(key, K)
+
+    def per_frame(k_key, c2w, color, depth):
+        idx = jax.random.randint(k_key, (pix_per_img,), 0, cam.H * cam.W)
+        jj = (idx // cam.W).astype(jnp.float32)
+        ii = (idx % cam.W).astype(jnp.float32)
+        ro, rd = rays_from_uv(ii, jj, c2w, cam.fx, cam.fy, cam.cx, cam.cy)
+        j_i, i_i = jj.astype(jnp.int32), ii.astype(jnp.int32)
+        return ro, rd, depth[j_i, i_i], color[j_i, i_i]
+
+    ro, rd, d, c = jax.vmap(per_frame)(keys, c2ws, colors, depths)
+    flat = lambda x: x.reshape((-1,) + x.shape[2:])
+    return flat(ro), flat(rd), flat(d), flat(c)
+
+
+def _map_loss(
+    params,
+    fixed_c2w,
+    colors,
+    depths,
+    bound,
+    key,
+    cfg: MapperConfig,
+    cam: Camera,
+    settings: RenderSettings,
+    stage: str,
+    ba: bool,
+    coarse_mapper: bool,
+    pix_per_img: int,
+):
+    grids, decoders, cam_tensors = params
+    c2ws = _window_c2w(cam_tensors, fixed_c2w, ba)
+    rays_o, rays_d, b_depth, b_color = _sample_window_rays(
+        key, c2ws, colors, depths, pix_per_img, cam
+    )
+
+    if settings.nice:
+        inside = inside_bound_mask(
+            jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d),
+            b_depth, bound,
+        )
+    else:
+        inside = jnp.ones_like(b_depth, dtype=bool)
+
+    depth, _, color = render_rays(
+        decoders, grids, rays_o, rays_d, bound, stage, settings,
+        gt_depth=None if coarse_mapper else b_depth,
+    )
+    depth_mask = (b_depth > 0) & inside
+    loss = jnp.sum(jnp.abs(b_depth - depth) * depth_mask)
+    if (not settings.nice) or stage == "color":
+        loss = loss + cfg.w_color_loss * jnp.sum(
+            jnp.abs(b_color - color) * inside[:, None]
+        )
+    if not settings.occupancy:  # iMAP free-space regulation
+        sigma = regulation_sigma(
+            decoders, grids, rays_o, rays_d, b_depth, bound, settings,
+            jax.random.fold_in(key, 1), stage,
+        )
+        loss = loss + 0.0005 * jnp.sum(jnp.abs(sigma))
+    return loss
+
+
+def _grid_lr_tree(grids, lrs: Dict[str, Any]):
+    return {level: lrs[level] for level in grids}
+
+
+def _decoder_lr_tree(decoders, lrs: Dict[str, Any], cfg: MapperConfig, nice: bool):
+    out = {}
+    for name in decoders:
+        if not nice:
+            lr = lrs["decoders"]
+        elif name == "fine":
+            lr = 0.0 if cfg.fix_fine else lrs["decoders"]
+        elif name == "color":
+            lr = 0.0 if cfg.fix_color else lrs["decoders"]
+        else:  # middle / coarse decoders are never optimized (reference)
+            lr = 0.0
+        out[name] = jax.tree.map(lambda _: jnp.asarray(lr, jnp.float32), decoders[name])
+    return out
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "cfg", "cam", "settings", "ba", "coarse_mapper", "pix_per_img",
+        "use_frustum", "stages", "use_events", "fix_color_now",
+    ),
+)
+def map_frame_jit(
+    grids,
+    decoders,
+    cam_tensors,
+    fixed_c2w,
+    opt_cam_mask,
+    colors,
+    depths,
+    grid_masks,
+    bound,
+    base_key,
+    seg_lens,          # dict stage -> dynamic scalar iteration count
+    lr_factor,         # dynamic scalar
+    prev_color_lo,
+    gt_event_lo,
+    gt_depth_lo_flat,
+    eventnet,
+    event_balancer,
+    cfg: MapperConfig,
+    cam: Camera,
+    settings: RenderSettings,
+    ba: bool,
+    coarse_mapper: bool,
+    pix_per_img: int,
+    use_frustum: bool,
+    stages: Tuple[str, ...],
+    use_events: bool,
+    fix_color_now: bool,
+):
+    """One full mapping call: sequential per-stage loops with dynamic lengths.
+
+    Returns (grids, decoders, cam_tensors, last_loss, last_event_loss)."""
+    params = (grids, decoders, cam_tensors)
+    adam = adam_init(params)
+    adam_ev = adam_init(params) if use_events else None
+
+    cfg_now = cfg._replace(fix_color=cfg.fix_color or fix_color_now)
+
+    def make_stage_body(stage: str):
+        lrs_host = (
+            cfg.stage_lr_dict(stage)
+            if settings.nice
+            else {"decoders": cfg.imap_decoders_lr, "coarse": 0.0,
+                  "middle": 0.0, "fine": 0.0, "color": 0.0}
+        )
+
+        def lr_tree_for(params, event_update: bool):
+            grids_, decoders_, cams_ = params
+            g_lrs = {
+                lvl: jnp.asarray(lrs_host.get(lvl, 0.0), jnp.float32) * lr_factor
+                for lvl in ("coarse", "middle", "fine", "color")
+            }
+            if event_update:
+                g_lrs["color"] = jnp.zeros(())  # event optimizer excludes color grid
+            grid_tree = {
+                lvl: jax.tree.map(lambda _: g_lrs[lvl], grids_[lvl])
+                for lvl in grids_
+            }
+            dec_lr = jnp.asarray(lrs_host["decoders"], jnp.float32) * lr_factor
+            dec_tree = _decoder_lr_tree(decoders_, {"decoders": dec_lr}, cfg_now, settings.nice)
+            cam_lr = (
+                jnp.asarray(cfg.BA_cam_lr, jnp.float32)
+                if (ba and stage == "color")
+                else jnp.zeros(())
+            )
+            cam_tree = opt_cam_mask[:, None] * cam_lr
+            return (grid_tree, dec_tree, cam_tree)
+
+        loss_fn = lambda p, key: _map_loss(
+            p, fixed_c2w, colors, depths, bound, key, cfg_now, cam, settings,
+            stage, ba, coarse_mapper, pix_per_img,
+        )
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        if use_events:
+            ev_fn = lambda p: _mapper_event_loss(
+                p, fixed_c2w, bound, prev_color_lo, gt_event_lo,
+                gt_depth_lo_flat, eventnet, cfg, cam, settings, ba,
+                event_balancer,
+            )
+            ev_grad_fn = jax.value_and_grad(ev_fn)
+
+        def body(i, carry):
+            params, adam, adam_ev, _, _ = carry
+            key = jax.random.fold_in(jax.random.fold_in(base_key, _stage_id(stage)), i)
+            loss, grads = grad_fn(params, key)
+            if use_frustum:
+                grads = (_mask_grid_grads(grads[0], grid_masks, coarse_mapper),
+                         grads[1], grads[2])
+            lrs = lr_tree_for(params, event_update=False)
+            new_params, adam = adam_update(grads, adam, params, lrs)
+            ev_loss = jnp.zeros(())
+            if use_events:
+                ev_loss, ev_grads = ev_grad_fn(new_params)
+                if use_frustum:
+                    ev_grads = (
+                        _mask_grid_grads(ev_grads[0], grid_masks, coarse_mapper),
+                        ev_grads[1], ev_grads[2],
+                    )
+                ev_lrs = lr_tree_for(new_params, event_update=True)
+                new_params, adam_ev = adam_update(ev_grads, adam_ev, new_params, ev_lrs)
+            return (new_params, adam, adam_ev, loss, ev_loss)
+
+        return body
+
+    last_loss = jnp.zeros(())
+    last_ev = jnp.zeros(())
+    carry = (params, adam, adam_ev, last_loss, last_ev)
+    for stage in stages:
+        body = make_stage_body(stage)
+        carry = jax.lax.fori_loop(0, seg_lens[stage], body, carry)
+    params, _, _, last_loss, last_ev = carry
+    return params[0], params[1], params[2], last_loss, last_ev
+
+
+def _stage_id(stage: str) -> int:
+    return {"coarse": 0, "middle": 1, "fine": 2, "color": 3}[stage]
+
+
+def _mask_grid_grads(grid_grads, grid_masks, coarse_mapper: bool):
+    """Frustum selection as a gradient mask: coarse mapper touches only the
+    coarse grid, the fine mapper everything but coarse
+    (reference src/Mapper.py:450-458)."""
+    out = {}
+    for lvl, g in grid_grads.items():
+        if (coarse_mapper and lvl != "coarse") or (not coarse_mapper and lvl == "coarse"):
+            out[lvl] = jnp.zeros_like(g)
+        else:
+            out[lvl] = g * grid_masks[lvl]
+    return out
+
+
+def _mapper_event_loss(
+    params, fixed_c2w, bound, prev_color_lo, gt_event_lo, gt_depth_lo_flat,
+    eventnet, cfg, cam, settings, ba, balancer,
+):
+    grids, decoders, cam_tensors = params
+    c2ws = _window_c2w(cam_tensors, fixed_c2w, ba)
+    cur_c2w = c2ws[-1]
+    lo_h, lo_w = prev_color_lo.shape[:2]
+    rays_o, rays_d = get_rays_rescale(
+        cam.H, cam.W, lo_h, lo_w, cam.fx, cam.fy, cam.cx, cam.cy, cur_c2w
+    )
+    _, _, cur_lo = render_rays(
+        decoders, grids, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
+        bound, "color", settings, gt_depth=gt_depth_lo_flat,
+    )
+    cur_lo = cur_lo.reshape(lo_h, lo_w, 3)
+    pred, _ = inference_event(eventnet, prev_color_lo, cur_lo)
+    loss = jnp.sum((gt_event_lo - pred) ** 2)
+    loss = loss + jnp.sum(
+        (gaussian_blur(gt_event_lo, 3) - gaussian_blur(pred, 3)) ** 2
+    )
+    return loss * balancer
+
+
+# ---------------------------------------------------------------------------
+# host-side driver
+# ---------------------------------------------------------------------------
+
+class Mapper:
+    """Host-side mapping driver: window selection, frustum masks, keyframe
+    registry, and dispatch into map_frame_jit."""
+
+    def __init__(
+        self,
+        cfg: MapperConfig,
+        cam: Camera,
+        settings: RenderSettings,
+        bound: np.ndarray,
+        coarse_mapper: bool = False,
+        eventnet: Optional[Dict] = None,
+        seed: int = 1234,
+    ):
+        self.cfg = cfg
+        self.cam = cam
+        self.settings = settings
+        self.bound_np = np.asarray(bound, np.float32)
+        self.bound = jnp.asarray(bound, jnp.float32)
+        self.coarse_mapper = coarse_mapper
+        self.keyframes = KeyframeStore()
+        self.eventnet = eventnet if eventnet is not None else {}
+        self.rng = np.random.default_rng(seed)
+        self.BA_active = False
+        self.last_loss = 0.0
+        self.selection = (
+            "global" if coarse_mapper else cfg.keyframe_selection
+        )
+        lo_h = int(cam.H * cfg.event_scale_factor)
+        lo_w = int(cam.W * cfg.event_scale_factor)
+        self.lo_hw = (lo_h, lo_w)
+
+    # -- window selection ---------------------------------------------------
+
+    def select_window(self, gt_color, gt_depth, cur_c2w) -> List[int]:
+        """Indices into the keyframe store; -1 denotes the current frame."""
+        kf = self.keyframes
+        if len(kf) == 0:
+            frames: List[int] = []
+        else:
+            num = self.cfg.window_size - 2
+            if self.selection == "global":
+                frames = random_select(len(kf) - 1, num, self.rng)
+            else:
+                frames = keyframe_selection_overlap(
+                    np.asarray(gt_color), np.asarray(gt_depth), cur_c2w,
+                    kf.frames[:-1], num, self.cam, rng=self.rng,
+                )
+        if len(kf) > 0:
+            frames = frames + [len(kf) - 1]
+        frames = [int(f) for f in frames] + [-1]
+        return frames
+
+    # -- main entry ---------------------------------------------------------
+
+    def optimize_map(
+        self,
+        num_joint_iters: int,
+        lr_factor: float,
+        idx: int,
+        cur_gt_color,
+        cur_gt_depth,
+        cur_gt_event,
+        cur_c2w: np.ndarray,
+        pre_gt_color=None,
+        color_refine: bool = False,
+        seed: int = 0,
+        grids=None,
+        decoders=None,
+    ):
+        """One mapping call. Returns (grids, decoders, new_cur_c2w or None)."""
+        cfg = self.cfg
+        cam = self.cam
+        window = self.select_window(cur_gt_color, cur_gt_depth, cur_c2w)
+        K = len(window)
+        pix_per_img = cfg.pixels // K
+
+        colors = np.stack(
+            [
+                np.asarray(cur_gt_color) if f == -1 else self.keyframes.frames[f]["color"]
+                for f in window
+            ]
+        ).astype(np.float32)
+        depths = np.stack(
+            [
+                np.asarray(cur_gt_depth) if f == -1 else self.keyframes.frames[f]["depth"]
+                for f in window
+            ]
+        ).astype(np.float32)
+        fixed_c2w = np.stack(
+            [
+                cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"]
+                for f in window
+            ]
+        ).astype(np.float32)
+
+        ba = self.BA_active and not self.coarse_mapper
+        oldest = min(window)
+        opt_mask = np.array(
+            [0.0 if f == oldest else 1.0 for f in window], np.float32
+        )
+        cam_tensors = np.stack(
+            [
+                np.asarray(tensor_from_pose_matrix(jnp.asarray(m[:3])))
+                for m in fixed_c2w
+            ]
+        ).astype(np.float32)
+
+        # stage schedule
+        if self.coarse_mapper:
+            stages: Tuple[str, ...] = ("coarse",)
+            seg = {"coarse": num_joint_iters}
+        elif not self.settings.nice:
+            stages = ("color",)
+            seg = {"color": num_joint_iters}
+        elif color_refine:
+            stages = ("color",)
+            seg = {"color": num_joint_iters}
+        else:
+            m_end = int(num_joint_iters * cfg.middle_iter_ratio)
+            f_end = int(num_joint_iters * cfg.fine_iter_ratio)
+            stages = ("middle", "fine", "color")
+            seg = {
+                "middle": m_end + 1,
+                "fine": f_end - m_end,
+                "color": num_joint_iters - 1 - f_end,
+            }
+        seg_lens = {s: jnp.asarray(seg.get(s, 0), jnp.int32) for s in stages}
+
+        # frustum masks
+        use_frustum = cfg.frustum_feature_selection and self.settings.nice and not color_refine
+        grid_masks = {}
+        if grids is not None:
+            for lvl, g in grids.items():
+                if use_frustum and lvl != "coarse":
+                    m = frustum_feature_mask(
+                        cur_c2w, g.shape[:3], np.asarray(cur_gt_depth),
+                        self.bound_np, cam,
+                    )
+                    grid_masks[lvl] = jnp.asarray(
+                        m[..., None].astype(np.float32)
+                    )
+                else:
+                    grid_masks[lvl] = jnp.ones(g.shape[:3] + (1,), jnp.float32)
+
+        # event inputs
+        use_events = cfg.use_events and not self.coarse_mapper and idx != 0
+        lo_h, lo_w = self.lo_hw
+        if use_events and pre_gt_color is not None:
+            prev_color_lo = resize_bilinear(jnp.asarray(pre_gt_color), self.lo_hw)
+            gt_event_lo = resize_nearest(jnp.asarray(cur_gt_event), self.lo_hw)
+            gt_depth_lo_flat = resize_bilinear(
+                jnp.asarray(cur_gt_depth), self.lo_hw
+            ).reshape(-1)
+            balancer = (pix_per_img * K) / (lo_w * lo_h) / 100.0
+        else:
+            use_events = False
+            prev_color_lo = jnp.zeros((lo_h, lo_w, 3))
+            gt_event_lo = jnp.zeros((lo_h, lo_w, 2))
+            gt_depth_lo_flat = jnp.zeros((lo_h * lo_w,))
+            balancer = 0.0
+
+        new_grids, new_decoders, new_cams, loss, ev_loss = map_frame_jit(
+            grids,
+            decoders,
+            jnp.asarray(cam_tensors),
+            jnp.asarray(fixed_c2w),
+            jnp.asarray(opt_mask),
+            jnp.asarray(colors),
+            jnp.asarray(depths),
+            grid_masks,
+            self.bound,
+            jax.random.PRNGKey(seed),
+            seg_lens,
+            jnp.asarray(lr_factor, jnp.float32),
+            prev_color_lo,
+            gt_event_lo,
+            gt_depth_lo_flat,
+            self.eventnet,
+            jnp.asarray(balancer, jnp.float32),
+            cfg,
+            cam,
+            self.settings,
+            ba,
+            self.coarse_mapper,
+            pix_per_img,
+            use_frustum,
+            stages,
+            use_events,
+            color_refine,
+        )
+        self.last_loss = float(loss)
+
+        new_cur_c2w = None
+        if ba:
+            cams_np = np.asarray(new_cams)
+            for slot, f in enumerate(window):
+                if f == oldest:
+                    continue
+                m34 = np.asarray(
+                    pose_matrix_from_tensor(jnp.asarray(cams_np[slot]))
+                )
+                m = np.eye(4, dtype=np.float32)
+                m[:3] = m34
+                if f == -1:
+                    new_cur_c2w = m
+                else:
+                    self.keyframes.set_pose(f, m)
+        return new_grids, new_decoders, new_cur_c2w
+
+    def maybe_add_keyframe(
+        self, idx, n_img, gt_color, gt_depth, gt_event, cur_c2w, gt_c2w
+    ):
+        """Append every keyframe_every frames or at the second-to-last frame
+        (reference src/Mapper.py:830-835)."""
+        if (
+            idx % self.cfg.keyframe_every == 0 or idx == n_img - 2
+        ) and idx not in self.keyframes.indices:
+            self.keyframes.append(idx, gt_color, gt_depth, gt_event, cur_c2w, gt_c2w)
+
+    def update_ba_state(self):
+        self.BA_active = (
+            len(self.keyframes) > 4 and self.cfg.BA and not self.coarse_mapper
+        )

@@ -1,0 +1,331 @@
+"""EvenNICER-SLAM pipeline: the single-process interleaved tracker/mapper
+schedule.
+
+Architecture note (SURVEY.md §7): the reference spawns three processes
+(Tracker, Mapper, coarse Mapper) coordinating through shared-memory tensors
+and 0.1 s polling loops (reference src/EvenNICER_SLAM.py:313-332,
+src/Tracker.py:281-295, src/Mapper.py:743-757). Under the default
+``sync_method: strict`` that protocol is *exactly sequential*: map frame 0,
+then track k, and map whenever ``k % every_frame == 0`` before tracking k+1.
+This pipeline executes that schedule directly in one process — same
+semantics, zero IPC — with map state handed to the tracker functionally
+(the snapshot protocol becomes plain data flow). ``loose``/``free`` collapse
+to the same schedule in a single process and are accepted as config values.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from evennicer_slam_tpu.data.datasets import get_dataset
+from evennicer_slam_tpu.models.decoders import (
+    init_imap_decoder,
+    init_nice_decoders,
+)
+from evennicer_slam_tpu.models.eventnet import init_eventnet, load_eventnet_torch
+from evennicer_slam_tpu.models.grids import init_grids
+from evennicer_slam_tpu.models.pretrained import load_pretrained_decoders
+from evennicer_slam_tpu.render.renderer import Renderer, RenderSettings
+from evennicer_slam_tpu.slam.camera import Camera
+from evennicer_slam_tpu.slam.mapper import Mapper, MapperConfig
+from evennicer_slam_tpu.slam.tracker import Tracker, TrackerConfig
+
+
+def load_scene_bound(cfg) -> np.ndarray:
+    """Scene bound scaled and rounded up to bound_divisible
+    (reference load_bound, src/EvenNICER_SLAM.py:162-182)."""
+    scale = cfg["scale"]
+    bound = np.array(cfg["mapping"]["bound"], np.float64) * scale
+    bd = cfg["grid_len"]["bound_divisible"]
+    bound[:, 1] = (
+        ((bound[:, 1] - bound[:, 0]) / bd).astype(int) + 1
+    ) * bd + bound[:, 0]
+    return bound.astype(np.float32)
+
+
+class EvenNICERSLAM:
+    """Main orchestrator (reference EvenNICER_SLAM class,
+    src/EvenNICER_SLAM.py:25-332): allocates scene state, builds the
+    tracker/mapper/renderer/mesher, runs the interleaved schedule."""
+
+    def __init__(self, cfg: Dict[str, Any], args=None, nice: bool = True):
+        self.cfg = cfg
+        self.args = args
+        self.nice = nice
+        self.coarse = cfg["coarse"] and nice
+        self.verbose = cfg.get("verbose", False)
+        self.scale = cfg["scale"]
+        self.occupancy = cfg["occupancy"]
+        self.sync_method = cfg.get("sync_method", "strict")
+
+        out = getattr(args, "output", None) if args else None
+        self.output = out or cfg["data"]["output"]
+        os.makedirs(self.output, exist_ok=True)
+        os.makedirs(os.path.join(self.output, "ckpts"), exist_ok=True)
+        os.makedirs(os.path.join(self.output, "mesh"), exist_ok=True)
+
+        self.cam = Camera.from_cfg(cfg)
+        self.bound = load_scene_bound(cfg)
+        self.settings = RenderSettings.from_cfg(cfg, nice=nice)
+
+        key = jax.random.PRNGKey(cfg.get("seed", 42))
+        k_grid, k_dec, k_ev = jax.random.split(key, 3)
+
+        if nice:
+            self.grids = init_grids(
+                k_grid, self.bound, cfg["grid_len"], cfg["model"]["c_dim"],
+                self.coarse, cfg["model"]["coarse_bound_enlarge"],
+            )
+            self.decoders = init_nice_decoders(
+                k_dec, c_dim=cfg["model"]["c_dim"], coarse=self.coarse
+            )
+            pre = cfg.get("pretrained_decoders", {})
+            mf = pre.get("middle_fine")
+            if mf and os.path.exists(mf):
+                self.decoders = load_pretrained_decoders(
+                    self.decoders, mf,
+                    pre.get("coarse") if self.coarse else None,
+                )
+        else:
+            self.grids = {}
+            self.decoders = init_imap_decoder(k_dec)
+
+        # dataset + event mode
+        self.frame_reader = get_dataset(cfg, args, self.scale)
+        self.n_img = len(self.frame_reader)
+        self.use_events = bool(
+            getattr(self.frame_reader, "has_events", False)
+            and cfg.get("event", {})
+        )
+
+        # EventNet
+        self.eventnet = {}
+        if self.use_events:
+            path = cfg["event"].get("pretrained_path")
+            if path and os.path.exists(path):
+                self.eventnet = load_eventnet_torch(path)
+            else:
+                self.eventnet = init_eventnet(k_ev)
+
+        # engines
+        self.renderer = Renderer(
+            self.cam.H, self.cam.W, self.cam.fx, self.cam.fy,
+            self.cam.cx, self.cam.cy, self.bound, self.settings,
+        )
+        t_cfg = TrackerConfig.from_cfg(cfg, self.use_events)
+        m_cfg = MapperConfig.from_cfg(
+            cfg, use_events=cfg.get("mapping", {}).get("use_events", False)
+        )
+        self.tracker = Tracker(t_cfg, self.cam, self.settings, self.bound, self.eventnet)
+        self.mapper = Mapper(m_cfg, self.cam, self.settings, self.bound,
+                             coarse_mapper=False, eventnet=self.eventnet)
+        self.coarse_mapper = (
+            Mapper(m_cfg, self.cam, self.settings, self.bound, coarse_mapper=True)
+            if self.coarse else None
+        )
+        self.t_cfg, self.m_cfg = t_cfg, m_cfg
+
+        self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        self.idx = 0
+        self.mapping_idx = -1
+        self.mapping_cnt = 0
+        self.pre_gt_color_mapper = None
+        self.timings: Dict[str, float] = {"track": 0.0, "map": 0.0, "frames": 0}
+
+        # lazily-built aux subsystems
+        self._mesher = None
+        self._logger = None
+        self._visualizer = None
+
+    # ------------------------------------------------------------------
+    @property
+    def mesher(self):
+        if self._mesher is None:
+            from evennicer_slam_tpu.mesh.mesher import Mesher
+
+            self._mesher = Mesher(self.cfg, self.cam, self.settings,
+                                  self.bound, self.renderer)
+        return self._mesher
+
+    @property
+    def logger(self):
+        if self._logger is None:
+            from evennicer_slam_tpu.utils.logger import CheckpointLogger
+
+            self._logger = CheckpointLogger(
+                os.path.join(self.output, "ckpts"), verbose=self.verbose
+            )
+        return self._logger
+
+    # ------------------------------------------------------------------
+
+    def _integrated_event(self, idx: int) -> np.ndarray:
+        """Sum of GT event frames for the mapping window
+        (reference src/Mapper.py:768-772)."""
+        every = self.m_cfg.every_frame
+        total = None
+        for i in range(every):
+            if idx - i < 0:
+                break
+            ev = self.frame_reader[idx - i].event
+            total = ev if total is None else total + ev
+        return total
+
+    def _map_frame(self, idx: int, frame, init: bool, color_refine: bool = False):
+        cfg = self.cfg
+        m = self.m_cfg
+        gt_color = jnp.asarray(frame.color)
+        gt_depth = jnp.asarray(frame.depth)
+        gt_event_int = self._integrated_event(idx) if self.use_events else frame.event
+        cur_c2w = self.estimate_c2w_list[idx].copy()
+
+        if init:
+            outer, num_iters, lr_factor = 1, m.iters_first, m.lr_first_factor
+        elif color_refine:
+            outer, num_iters, lr_factor = 5, m.iters, m.lr_factor
+        else:
+            outer = 1 if self.nice else 3
+            num_iters, lr_factor = m.iters // (1 if self.nice else 3), m.lr_factor
+
+        mappers = []
+        if self.coarse_mapper is not None and not color_refine:
+            mappers.append(self.coarse_mapper)
+        mappers.append(self.mapper)
+
+        for mapper in mappers:
+            if color_refine and mapper.coarse_mapper:
+                continue
+            mapper.update_ba_state()
+            n = num_iters
+            window_boost = 2 if (color_refine and not mapper.coarse_mapper) else 1
+            old_ws = mapper.cfg.window_size
+            if window_boost != 1:
+                mapper.cfg = mapper.cfg._replace(window_size=old_ws * 2)
+            for outer_it in range(outer if not mapper.coarse_mapper else 1):
+                grids, decoders, new_c2w = mapper.optimize_map(
+                    n, lr_factor, idx, frame.color, frame.depth, gt_event_int,
+                    cur_c2w,
+                    pre_gt_color=self.pre_gt_color_mapper,
+                    color_refine=color_refine,
+                    seed=idx * 97 + outer_it,
+                    grids=self.grids,
+                    decoders=self.decoders,
+                )
+                self.grids = grids
+                self.decoders = decoders
+                if new_c2w is not None:
+                    cur_c2w = new_c2w
+                    self.estimate_c2w_list[idx] = new_c2w
+            if window_boost != 1:
+                mapper.cfg = mapper.cfg._replace(window_size=old_ws)
+
+            if not mapper.coarse_mapper:
+                mapper.maybe_add_keyframe(
+                    idx, self.n_img, frame.color, frame.depth, frame.event,
+                    cur_c2w, frame.c2w,
+                )
+                if self.coarse_mapper is not None:
+                    # coarse mapper shares the keyframe registry
+                    self.coarse_mapper.keyframes = mapper.keyframes
+
+        self.mapping_idx = idx
+        self.mapping_cnt += 1
+        self.pre_gt_color_mapper = frame.color
+
+    def step(self, idx: int):
+        """Process frame ``idx`` through the strict schedule."""
+        frame = self.frame_reader[idx]
+        self.gt_c2w_list[idx] = frame.c2w
+        gt_color = jnp.asarray(frame.color)
+        gt_depth = jnp.asarray(frame.depth)
+        gt_event = jnp.asarray(frame.event)
+
+        if idx == 0 or self.t_cfg.gt_camera:
+            self.estimate_c2w_list[idx] = frame.c2w
+            if idx == 0:
+                if self.use_events:
+                    self.tracker.reset_event_integration(frame.event.shape)
+                t0 = time.perf_counter()
+                self._map_frame(idx, frame, init=True)
+                self.timings["map"] += time.perf_counter() - t0
+                self.tracker.pre_gt_color = gt_color
+        else:
+            t0 = time.perf_counter()
+            pre = self.estimate_c2w_list[idx - 1]
+            prepre = self.estimate_c2w_list[idx - 2] if idx >= 2 else None
+            c2w = self.tracker.track(
+                idx, gt_color, gt_depth, gt_event, pre, prepre,
+                self.decoders, self.grids, seed=idx,
+            )
+            self.estimate_c2w_list[idx] = c2w
+            self.timings["track"] += time.perf_counter() - t0
+
+        self.tracker.end_of_window(idx, gt_color, self.m_cfg.every_frame)
+
+        mapped = False
+        if idx != 0 and idx % self.m_cfg.every_frame == 0:
+            t0 = time.perf_counter()
+            self._map_frame(idx, frame, init=False)
+            self.timings["map"] += time.perf_counter() - t0
+            mapped = True
+
+        # final frame: color refinement + meshes
+        if idx == self.n_img - 1:
+            if self.m_cfg.color_refine and self.nice:
+                self._map_frame(idx, frame, init=False, color_refine=True)
+            mapped = True
+
+        self.idx = idx
+        self.timings["frames"] += 1
+        return mapped
+
+    def run(
+        self,
+        end_frame: Optional[int] = None,
+        mesh: bool = True,
+        checkpoint: bool = True,
+    ):
+        """Full run over the sequence (reference EvenNICER_SLAM.run +
+        the per-process run loops)."""
+        n = self.n_img if end_frame is None else min(end_frame, self.n_img)
+        mesh_freq = self.cfg["mapping"].get("mesh_freq", 50)
+        ckpt_freq = self.cfg["mapping"].get("ckpt_freq", 500)
+
+        for idx in range(n):
+            mapped = self.step(idx)
+            if self.verbose:
+                print(f"[enslam] frame {idx}/{n} "
+                      f"track={self.timings['track']:.1f}s map={self.timings['map']:.1f}s")
+            if mapped and checkpoint and idx > 0 and idx % ckpt_freq == 0:
+                self.logger.log(self, idx)
+            if mapped and mesh and idx > 0 and idx % mesh_freq == 0 and idx != n - 1:
+                self.mesher.get_mesh(
+                    f"{self.output}/mesh/{idx:05d}_mesh.ply",
+                    self.grids, self.decoders, self.mapper.keyframes.frames,
+                    self.estimate_c2w_list, idx,
+                )
+
+        last = n - 1
+        if checkpoint:
+            self.logger.log(self, last)
+        if mesh:
+            out = f"{self.output}/mesh/final_mesh.ply"
+            self.mesher.get_mesh(
+                out, self.grids, self.decoders, self.mapper.keyframes.frames,
+                self.estimate_c2w_list, last,
+            )
+            if self.cfg["meshing"].get("eval_rec", False):
+                self.mesher.get_mesh(
+                    f"{self.output}/mesh/final_mesh_eval_rec.ply",
+                    self.grids, self.decoders, self.mapper.keyframes.frames,
+                    self.estimate_c2w_list, last,
+                    get_mask_use_all_frames=True,
+                )
+        return self.estimate_c2w_list
