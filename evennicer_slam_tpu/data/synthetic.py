@@ -31,9 +31,12 @@ def _wall_texture(u: np.ndarray, v: np.ndarray, face: int) -> np.ndarray:
         ],
         np.float32,
     )[face]
-    # low-frequency pattern so tracking/mapping have photometric gradient
-    pat = 0.5 + 0.25 * np.sin(3.0 * np.pi * u) * np.cos(2.0 * np.pi * v)
-    check = 0.15 * (((u * 4).astype(int) + (v * 4).astype(int)) % 2)
+    # texture with gradient in BOTH face axes so every pose DoF is observable
+    # photometrically (a plain wall leaves motion along the wall plane with a
+    # flat loss landscape)
+    pat = 0.5 + 0.2 * np.sin(6.0 * np.pi * u) * np.cos(5.0 * np.pi * v)
+    pat += 0.15 * np.sin(2.5 * np.pi * v) + 0.1 * np.cos(3.5 * np.pi * u)
+    check = 0.12 * (((u * 8).astype(int) + (v * 8).astype(int)) % 2)
     c = base[None, :] * (pat + check)[:, None]
     return np.clip(c, 0.0, 1.0)
 
@@ -113,20 +116,28 @@ def _look_at(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
 
 
 def circular_trajectory(
-    n: int, center: np.ndarray, radius: float = 0.3, height_amp: float = 0.05
+    n: int,
+    center: np.ndarray,
+    radius: float = 0.3,
+    height_amp: float = 0.05,
+    step: float = None,
 ) -> np.ndarray:
     """Smooth camera path inside the room: the eye orbits the center while the
     gaze pans along the walls (so views hit corners — varied depth gives
-    tracking a full 6-DoF signal). Returns [n, 4, 4] c2w."""
+    tracking a full 6-DoF signal). ``step`` is the per-frame angle increment
+    (radians); default sweeps a quarter turn over the sequence.
+    Returns [n, 4, 4] c2w."""
     poses = []
     for k in range(n):
-        th = 2.0 * np.pi * k / max(n, 1) * 0.25  # quarter turn over the run
+        th = k * step if step is not None else 2.0 * np.pi * k / max(n, 1) * 0.25
         eye = center + np.array(
             [radius * np.cos(th), radius * np.sin(th), height_amp * np.sin(2 * th)]
         )
         gaze = th + 0.6  # pan ahead of the eye position
+        # pitch the gaze down toward the floor corner so depth varies along
+        # the image v-axis too (full 6-DoF observability)
         target = center + np.array(
-            [2.0 * np.cos(gaze), 2.0 * np.sin(gaze), 0.3 * np.sin(3 * th)]
+            [2.0 * np.cos(gaze), 2.0 * np.sin(gaze), -0.7 + 0.25 * np.sin(3 * th)]
         )
         poses.append(_look_at(eye, target))
     return np.stack(poses)
@@ -141,6 +152,7 @@ def make_synthetic_replica(
     fy: float = 100.0,
     bound: Optional[np.ndarray] = None,
     event_gain: float = 20.0,
+    traj_step: float = None,
 ) -> Dict:
     """Write a Replica-format dataset (+ event folder) and return a config
     fragment describing it. Layout matches reference expectations:
@@ -156,7 +168,7 @@ def make_synthetic_replica(
     os.makedirs(ev_dir, exist_ok=True)
 
     center = bound.mean(axis=1)
-    poses = circular_trajectory(n_frames, center)
+    poses = circular_trajectory(n_frames, center, step=traj_step)
 
     traj_lines = []
     prev_intensity = None
