@@ -166,6 +166,13 @@ def make_synthetic_replica(
     ev_dir = os.path.join(out_dir, "events")
     os.makedirs(res, exist_ok=True)
     os.makedirs(ev_dir, exist_ok=True)
+    # remove stale frames from a previous generation with a different length
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(res, "*.png")) + _glob.glob(
+        os.path.join(ev_dir, "*.png")
+    ):
+        os.remove(stale)
 
     center = bound.mean(axis=1)
     poses = circular_trajectory(n_frames, center, step=traj_step)

@@ -38,7 +38,8 @@ import numpy as np
 from evennicer_slam_tpu.core.bounds import inside_bound_mask
 from evennicer_slam_tpu.core.quaternion import (
     pose_matrix_from_tensor,
-    tensor_from_pose_matrix,
+    pose_matrix_from_tensor_np,
+    tensor_from_pose_matrix_np,
 )
 from evennicer_slam_tpu.core.rays import get_rays_rescale, rays_from_uv
 from evennicer_slam_tpu.models.eventnet import inference_event
@@ -500,10 +501,7 @@ class Mapper:
             [0.0 if f == oldest else 1.0 for f in window], np.float32
         )
         cam_tensors = np.stack(
-            [
-                np.asarray(tensor_from_pose_matrix(jnp.asarray(m[:3])))
-                for m in fixed_c2w
-            ]
+            [tensor_from_pose_matrix_np(m[:3]) for m in fixed_c2w]
         ).astype(np.float32)
 
         # stage schedule
@@ -597,9 +595,7 @@ class Mapper:
             for slot, f in enumerate(window):
                 if f == oldest:
                     continue
-                m34 = np.asarray(
-                    pose_matrix_from_tensor(jnp.asarray(cams_np[slot]))
-                )
+                m34 = pose_matrix_from_tensor_np(cams_np[slot])
                 m = np.eye(4, dtype=np.float32)
                 m[:3] = m34
                 if f == -1:

@@ -139,10 +139,19 @@ class EvenNICERSLAM:
         self.pre_gt_color_mapper = None
         self.timings: Dict[str, float] = {"track": 0.0, "map": 0.0, "frames": 0}
 
+        from evennicer_slam_tpu.utils.telemetry import MetricsLogger, PhaseTimers
+
+        self.metrics = MetricsLogger(
+            self.output, use_wandb=cfg.get("use_wandb", False)
+        )
+        self.phase_timers = PhaseTimers()
+
         # lazily-built aux subsystems
         self._mesher = None
         self._logger = None
         self._visualizer = None
+        self._tracking_vis = None
+        self._mapping_vis = None
 
     # ------------------------------------------------------------------
     @property
@@ -163,6 +172,28 @@ class EvenNICERSLAM:
                 os.path.join(self.output, "ckpts"), verbose=self.verbose
             )
         return self._logger
+
+    def _get_vis(self, which: str):
+        from evennicer_slam_tpu.utils.visualizer import Visualizer
+
+        demo = "Demo" in self.output
+        if which == "tracking":
+            if self._tracking_vis is None:
+                t = self.cfg["tracking"]
+                self._tracking_vis = Visualizer(
+                    t.get("vis_freq", 50), 1,
+                    os.path.join(self.output, "vis" if demo else "tracking_vis"),
+                    self.renderer, self.verbose,
+                )
+            return self._tracking_vis
+        if self._mapping_vis is None:
+            m = self.cfg["mapping"]
+            self._mapping_vis = Visualizer(
+                m.get("vis_freq", 50), 1,
+                os.path.join(self.output, "mapping_vis"),
+                self.renderer, self.verbose,
+            )
+        return self._mapping_vis
 
     # ------------------------------------------------------------------
 
@@ -268,6 +299,23 @@ class EvenNICERSLAM:
             self.timings["track"] += time.perf_counter() - t0
 
         self.tracker.end_of_window(idx, gt_color, self.m_cfg.every_frame)
+
+        # per-frame metrics + periodic visual diagnostics
+        rec = {"frame": idx}
+        for k, v in self.tracker.last_losses.items():
+            if len(v):
+                rec[f"tracking/{k}_first"] = float(v[0])
+                rec[f"tracking/{k}_last"] = float(v[-1])
+        rec["mapping/loss"] = float(self.mapper.last_loss)
+        self.metrics.log(rec)
+        if idx > 0 and self.cfg.get("enable_vis", True):
+            vis = self._get_vis("tracking")
+            if vis.should_vis(idx, 0):
+                ev_vis = None
+                if self.use_events and self.tracker.gt_event_integrate is not None:
+                    ev_vis = self.tracker.gt_event_integrate
+                vis.vis(idx, 0, gt_depth, gt_color,
+                        self.estimate_c2w_list[idx], self.grids, self.decoders)
 
         mapped = False
         if idx != 0 and idx % self.m_cfg.every_frame == 0:

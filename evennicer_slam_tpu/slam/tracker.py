@@ -38,7 +38,8 @@ import numpy as np
 from evennicer_slam_tpu.core.bounds import inside_bound_mask
 from evennicer_slam_tpu.core.quaternion import (
     pose_matrix_from_tensor,
-    tensor_from_pose_matrix,
+    pose_matrix_from_tensor_np,
+    tensor_from_pose_matrix_np,
 )
 from evennicer_slam_tpu.core.rays import get_rays_rescale, get_samples
 from evennicer_slam_tpu.models.eventnet import inference_event
@@ -285,6 +286,16 @@ def track_frame_jit(
     return best_cam, losses
 
 
+@functools.partial(jax.jit, static_argnames=("lo_hw",))
+def _prep_event_inputs(gt_event_integrate, gt_event, pre_gt_color, gt_depth, lo_hw):
+    """Fused per-frame event preprocessing (integration + resizes)."""
+    acc = gt_event_integrate + gt_event
+    gt_event_lo = resize_nearest(acc, lo_hw)
+    prev_color_lo = resize_bilinear(pre_gt_color, lo_hw)
+    gt_depth_lo_flat = resize_bilinear(gt_depth, lo_hw).reshape(-1)
+    return acc, gt_event_lo, prev_color_lo, gt_depth_lo_flat
+
+
 class Tracker:
     """Host-side tracking driver: motion model, event integration, frame
     loop bookkeeping. All math happens in track_frame_jit."""
@@ -324,7 +335,8 @@ class Tracker:
             est = delta @ pre_c2w
         else:
             est = pre_c2w
-        return tensor_from_pose_matrix(jnp.asarray(est, jnp.float32))
+        # host-side numpy: eager jax ops would pay a dispatch round trip
+        return jnp.asarray(tensor_from_pose_matrix_np(est))
 
     def track(
         self,
@@ -346,10 +358,11 @@ class Tracker:
         if event:
             if self.gt_event_integrate is None:
                 self.gt_event_integrate = jnp.zeros_like(gt_event)
-            self.gt_event_integrate = self.gt_event_integrate + gt_event
-            gt_event_lo = resize_nearest(self.gt_event_integrate, self.lo_hw)
-            prev_color_lo = resize_bilinear(self.pre_gt_color, self.lo_hw)
-            gt_depth_lo_flat = resize_bilinear(gt_depth, self.lo_hw).reshape(-1)
+            (self.gt_event_integrate, gt_event_lo, prev_color_lo,
+             gt_depth_lo_flat) = _prep_event_inputs(
+                self.gt_event_integrate, gt_event, self.pre_gt_color, gt_depth,
+                self.lo_hw,
+            )
         else:
             lo_h, lo_w = self.lo_hw
             gt_event_lo = jnp.zeros((lo_h, lo_w, 2))
@@ -376,7 +389,7 @@ class Tracker:
             event,
         )
         self.last_losses = {k: np.asarray(v) for k, v in losses.items()}
-        c2w34 = np.asarray(pose_matrix_from_tensor(best_cam))
+        c2w34 = pose_matrix_from_tensor_np(np.asarray(best_cam))
         c2w = np.eye(4, dtype=np.float32)
         c2w[:3] = c2w34
         return c2w
