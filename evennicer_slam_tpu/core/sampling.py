@@ -62,6 +62,27 @@ def surface_z_vals(
     return jnp.where(d > 0, z_nonzero, z_zero)
 
 
+def merge_sorted_zvals(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Exact merge of two per-row SORTED sequences ([N, A], [N, B]) into a
+    sorted [N, A+B] — replaces ``jnp.sort(concat(...))`` in the renderer,
+    which is one of the hot loop's most expensive ops on TPU.
+
+    Rank of a[i] in the merged row = i + #{j : b[j] < a[i]};
+    rank of b[j] = j + #{i : a[i] <= b[j]}. Ties split consistently so the
+    ranks form a permutation. Placement is a one-hot matmul (MXU), not a
+    scatter."""
+    A = a.shape[-1]
+    B = b.shape[-1]
+    ra = jnp.arange(A) + jnp.sum(b[..., None, :] < a[..., :, None], axis=-1)
+    rb = jnp.arange(B) + jnp.sum(a[..., None, :] <= b[..., :, None], axis=-1)
+    vals = jnp.concatenate([a, b], axis=-1)
+    ranks = jnp.concatenate([ra, rb], axis=-1)
+    onehot = jax.nn.one_hot(ranks, A + B, dtype=vals.dtype)
+    return jnp.einsum(
+        "...ij,...i->...j", onehot, vals, preferred_element_type=vals.dtype
+    )
+
+
 def sample_pdf(
     key: jax.Array,
     bins: jnp.ndarray,

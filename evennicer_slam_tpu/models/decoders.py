@@ -31,6 +31,39 @@ EMBEDDING_SIZE = 93
 FOURIER_SCALE = 25.0
 
 
+@jax.custom_vjp
+def _bf16_matmul(a, b):
+    """Matmul in bf16 with f32 accumulation in BOTH passes. JAX's derived
+    VJP would promote the backward dots to f32 (cotangents are f32), wasting
+    the MXU's native bf16 rate; tracking tolerates bf16 gradient noise."""
+    return jax.lax.dot_general(
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        (((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _bf16_matmul_fwd(a, b):
+    return _bf16_matmul(a, b), (a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+
+
+def _bf16_matmul_bwd(res, g):
+    a16, b16 = res
+    g16 = g.astype(jnp.bfloat16)
+    da = jax.lax.dot_general(
+        g16, b16, (((g.ndim - 1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    db = jax.lax.dot_general(
+        a16, g16, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    return da, db
+
+
+_bf16_matmul.defvjp(_bf16_matmul_fwd, _bf16_matmul_bwd)
+
+
 # ---------------------------------------------------------------------------
 # initialization (matches torch defaults used by the reference)
 # ---------------------------------------------------------------------------
@@ -153,13 +186,23 @@ def _mlp_forward(
     params: Dict[str, Any],
     p: jnp.ndarray,
     feat: Optional[jnp.ndarray],
+    mm_dtype=None,
 ) -> jnp.ndarray:
     """Reference MLP.forward (decoder.py:177-203). p: [N,3]; feat: [N,c].
 
     Skip positions and the color head are inferred from weight shapes
     (a layer expecting ``hidden + emb`` inputs marks a preceding skip).
     """
+    if mm_dtype is None:
+        mm = lambda a, b: a @ b
+    else:
+        # reduced-precision matmuls with f32 accumulation (MXU native mode),
+        # bf16 in the backward pass too
+        mm = _bf16_matmul
     if "B" in params:
+        # the Fourier embedding matmul stays f32: sin() is evaluated at
+        # arguments of O(+-50), where bf16's absolute error is O(0.25) and
+        # would randomize the phase
         emb = jnp.sin(p @ params["B"])
     else:
         emb = p
@@ -167,9 +210,9 @@ def _mlp_forward(
     h = emb
     n_blocks = len(params["lin_w"])
     for i, (w, b) in enumerate(zip(params["lin_w"], params["lin_b"])):
-        h = jax.nn.relu(h @ w + b)
+        h = jax.nn.relu(mm(h, w) + b)
         if feat is not None:
-            h = h + feat @ params["fc_w"][i] + params["fc_b"][i]
+            h = h + mm(feat, params["fc_w"][i]) + params["fc_b"][i]
         hidden = w.shape[1]
         next_in = (
             params["lin_w"][i + 1].shape[0]
@@ -178,7 +221,7 @@ def _mlp_forward(
         )
         if next_in == hidden + emb_dim:
             h = jnp.concatenate([emb, h], axis=-1)
-    out = h @ params["out_w"] + params["out_b"]
+    out = mm(h, params["out_w"]) + params["out_b"]
     if params["out_w"].shape[1] == 1:
         out = out[..., 0]
     return out
@@ -217,6 +260,7 @@ def nice_forward(
     bound: jnp.ndarray,
     stage: str,
     coarse_bound_enlarge: float = 2.0,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Staged NICE forward (reference NICE.forward, decoder.py:312-342).
 
@@ -237,11 +281,15 @@ def nice_forward(
             [jnp.zeros(p.shape[:-1] + (3,)), occ[..., None]], axis=-1
         )
 
+    if stage == "color" and fused:
+        return nice_forward_packed(decoders, grids, p, bound)
+
     middle_feat = _grid_feat(grids, "middle", p, bound)
     fine_feat = jnp.concatenate(
         [_grid_feat(grids, "fine", p, bound), jax.lax.stop_gradient(middle_feat)],
         axis=-1,
     )
+
     fine_occ = _mlp_forward(decoders["fine"], p, fine_feat)
     middle_occ = _mlp_forward(decoders["middle"], p, middle_feat)
     occ = fine_occ + middle_occ
@@ -257,6 +305,49 @@ def nice_forward(
     raise ValueError(f"unknown stage {stage!r}")
 
 
+def pack_grids_for_tracking(grids: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Read-only packed-corner snapshot of the scene grids for the tracker's
+    gather-bound decode: middle packed alone, fine+color packed together
+    (ops/grid_sample.py packed layout, bf16 rows). Rebuilt once per mapping
+    update; reused by every tracking iteration."""
+    from evennicer_slam_tpu.ops.grid_sample import pack_corner_grid
+
+    out = dict(grids)
+    out["middle_packed"] = pack_corner_grid(grids["middle"])
+    out["fc_packed"] = pack_corner_grid(
+        jnp.concatenate([grids["fine"], grids["color"]], axis=-1)
+    )
+    return out
+
+
+def nice_forward_packed(
+    decoders: Dict[str, Any],
+    grids: Dict[str, jnp.ndarray],
+    p: jnp.ndarray,
+    bound: jnp.ndarray,
+) -> jnp.ndarray:
+    """Color-stage decode against packed-corner grids: 2 gathers total
+    (middle; fine+color) instead of 24 corner gathers. Gradients flow to the
+    query points (pose tracking); the packed grids are data, not parameters."""
+    from evennicer_slam_tpu.ops.grid_sample import sample_packed_trilinear
+
+    if "fc_packed" not in grids:
+        grids = pack_grids_for_tracking(grids)
+    p_nor = normalize_3d_coordinate(p, bound)
+    middle_feat = sample_packed_trilinear(grids["middle_packed"], p_nor)
+    fc_feat = sample_packed_trilinear(grids["fc_packed"], p_nor)
+    c = middle_feat.shape[-1]
+    fine_feat = jnp.concatenate(
+        [fc_feat[:, :c], jax.lax.stop_gradient(middle_feat)], axis=-1
+    )
+    color_feat = fc_feat[:, c:]
+    fine_occ = _mlp_forward(decoders["fine"], p, fine_feat, mm_dtype=jnp.bfloat16)
+    middle_occ = _mlp_forward(decoders["middle"], p, middle_feat, mm_dtype=jnp.bfloat16)
+    raw = _mlp_forward(decoders["color"], p, color_feat, mm_dtype=jnp.bfloat16)
+    occ = fine_occ + middle_occ
+    return jnp.concatenate([raw[..., :3], occ[..., None]], axis=-1)
+
+
 def imap_forward(decoders: Dict[str, Any], p: jnp.ndarray) -> jnp.ndarray:
     """iMAP single-MLP forward -> raw [N, 4]."""
     return _mlp_forward(decoders["imap"], p, None)
@@ -270,10 +361,12 @@ def decoder_forward(
     stage: str,
     nice: bool = True,
     coarse_bound_enlarge: float = 2.0,
+    fused: bool = False,
 ) -> jnp.ndarray:
     """Unified entry: NICE (with grids) or iMAP (grid-free)."""
     if nice:
-        return nice_forward(decoders, grids, p, bound, stage, coarse_bound_enlarge)
+        return nice_forward(decoders, grids, p, bound, stage,
+                            coarse_bound_enlarge, fused=fused)
     return imap_forward(decoders, p)
 
 

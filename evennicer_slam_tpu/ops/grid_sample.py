@@ -81,3 +81,55 @@ def sample_grid_trilinear(
     c0 = c00 * (1 - fy) + c01 * fy
     c1 = c10 * (1 - fy) + c11 * fy
     return c0 * (1 - fz) + c1 * fz
+
+
+# ---------------------------------------------------------------------------
+# packed-corner layout: one gather per point instead of eight
+# ---------------------------------------------------------------------------
+#
+# TPU gathers are per-row-overhead bound: eight separate [N]-row gathers of
+# 32-float rows dominate the tracker's decode. The packed layout stores, at
+# every cell, the features of all 8 cell corners contiguously
+# ([Z, Y, X, 8*C], edge-padded), so a trilinear sample is ONE row gather
+# plus a VPU-weighted reduction. 8x memory for the read-only snapshot the
+# tracker uses; the mapper keeps optimizing the compact layout.
+
+def pack_corner_grid(grid: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """[Z, Y, X, C] -> [Z, Y, X, 8*C] with corner order (dz, dy, dx)
+    lexicographic; borders edge-replicated (= 'border' padding)."""
+    Z, Y, X, C = grid.shape
+    gp = jnp.pad(grid, ((0, 1), (0, 1), (0, 1), (0, 0)), mode="edge")
+    parts = []
+    for dz in (0, 1):
+        for dy in (0, 1):
+            for dx in (0, 1):
+                parts.append(gp[dz : dz + Z, dy : dy + Y, dx : dx + X])
+    return jnp.concatenate(parts, axis=-1).astype(dtype)
+
+
+def sample_packed_trilinear(packed: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
+    """Trilinear sample from a packed-corner grid. Returns [N, C] float32.
+
+    Numerically identical to :func:`sample_grid_trilinear` on the unpacked
+    grid (up to the packed dtype)."""
+    Z, Y, X, C8 = packed.shape
+    C = C8 // 8
+    ux = jnp.clip((p_nor[..., 0] + 1.0) * 0.5 * (X - 1), 0.0, X - 1)
+    uy = jnp.clip((p_nor[..., 1] + 1.0) * 0.5 * (Y - 1), 0.0, Y - 1)
+    uz = jnp.clip((p_nor[..., 2] + 1.0) * 0.5 * (Z - 1), 0.0, Z - 1)
+    x0 = jnp.floor(ux).astype(jnp.int32)
+    y0 = jnp.floor(uy).astype(jnp.int32)
+    z0 = jnp.floor(uz).astype(jnp.int32)
+    fx = ux - x0
+    fy = uy - y0
+    fz = uz - z0
+
+    rows = packed.reshape(-1, C8)[(z0 * Y + y0) * X + x0]  # [N, 8C]
+    corners = rows.reshape(rows.shape[0], 8, C).astype(jnp.float32)
+    wz = jnp.stack([1 - fz, fz], axis=-1)  # [N, 2]
+    wy = jnp.stack([1 - fy, fy], axis=-1)
+    wx = jnp.stack([1 - fx, fx], axis=-1)
+    w = (wz[:, :, None, None] * wy[:, None, :, None] * wx[:, None, None, :]).reshape(
+        -1, 8
+    )
+    return jnp.sum(corners * w[..., None], axis=1)

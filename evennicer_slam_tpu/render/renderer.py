@@ -24,9 +24,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from evennicer_slam_tpu.core.bounds import points_inside_bound, ray_bound_exit
-from evennicer_slam_tpu.core.composite import composite_rays
+from evennicer_slam_tpu.core.composite import (
+    composite_rays,
+    composite_two_bands_occupancy,
+)
 from evennicer_slam_tpu.core.rays import get_rays, get_rays_rescale
-from evennicer_slam_tpu.core.sampling import sample_pdf, stratified_z_vals, surface_z_vals
+from evennicer_slam_tpu.core.sampling import (
+    merge_sorted_zvals,
+    sample_pdf,
+    stratified_z_vals,
+    surface_z_vals,
+)
 from evennicer_slam_tpu.models.decoders import decoder_forward
 from evennicer_slam_tpu.ops.resize import resize_bilinear
 
@@ -42,6 +50,8 @@ class RenderSettings(NamedTuple):
     occupancy: bool = True
     nice: bool = True
     coarse_bound_enlarge: float = 2.0
+    fused_decode: bool = False
+    remat_decode: bool = False
 
     @staticmethod
     def from_cfg(cfg: Dict[str, Any], nice: bool = True) -> "RenderSettings":
@@ -72,6 +82,7 @@ def eval_points(
         decoders, grids, p, bound, stage,
         nice=settings.nice,
         coarse_bound_enlarge=settings.coarse_bound_enlarge,
+        fused=settings.fused_decode,
     )
     inside = points_inside_bound(p, bound)
     occ = jnp.where(inside, raw[..., -1], 100.0)
@@ -113,6 +124,10 @@ def render_rays(
     )[..., None] + 0.01  # [N, 1]
     if gt_depth is not None:
         far = jnp.clip(far_bb, 0.0, jnp.max(gt_depth * 1.2))
+        # keep the stratified sequence monotone for the sort-free merge
+        # (rays whose bound exit precedes the near plane are degenerate and
+        # loss-masked anyway)
+        far = jnp.maximum(far, near + 1e-6)
     else:
         far = far_bb
 
@@ -126,15 +141,32 @@ def render_rays(
     )
     z_vals = jnp.broadcast_to(z_vals, rays_o.shape[:-1] + (n_samples,))
 
-    if n_surface > 0:
-        z_surf = surface_z_vals(gt_depth, n_surface)
-        z_vals = jnp.sort(jnp.concatenate([z_vals, z_surf], axis=-1), axis=-1)
-
     def decode(z):
         pts = rays_o[..., None, :] + rays_d[..., None, :] * z[..., :, None]
         flat = pts.reshape(-1, 3)
         raw = eval_points(decoders, grids, flat, bound, stage, settings)
         return raw.reshape(z.shape + (4,))
+
+    if settings.remat_decode:
+        # rematerialize the decode in the backward pass: the decode is HBM-
+        # bound, so recomputing beats reading back its saved activations
+        decode = jax.checkpoint(decode)
+
+    if n_surface > 0 and settings.occupancy and settings.n_importance == 0:
+        # occupancy compositing is interval-free, so the stratified and
+        # surface bands need no merged sort (core/composite.py)
+        z_surf = surface_z_vals(gt_depth, n_surface)
+        z_cat = jnp.concatenate([z_vals, z_surf], axis=-1)
+        raw = decode(z_cat)
+        depth, depth_var, color, _ = composite_two_bands_occupancy(
+            raw[..., :n_samples, :], z_vals, raw[..., n_samples:, :], z_surf
+        )
+        return depth, depth_var, color
+
+    if n_surface > 0:
+        z_surf = surface_z_vals(gt_depth, n_surface)
+        # both sequences are sorted -> exact O(A*B) merge, no jnp.sort
+        z_vals = merge_sorted_zvals(z_vals, z_surf)
 
     raw = decode(z_vals)
     depth, depth_var, color, weights = composite_rays(

@@ -96,8 +96,10 @@ class EvenNICERSLAM:
             self.grids = {}
             self.decoders = init_imap_decoder(k_dec)
 
-        # dataset + event mode
-        self.frame_reader = get_dataset(cfg, args, self.scale)
+        # dataset + event mode (frames prefetched on a worker thread)
+        from evennicer_slam_tpu.data.prefetch import PrefetchingReader
+
+        self.frame_reader = PrefetchingReader(get_dataset(cfg, args, self.scale))
         self.n_img = len(self.frame_reader)
         self.use_events = bool(
             getattr(self.frame_reader, "has_events", False)
@@ -122,7 +124,15 @@ class EvenNICERSLAM:
         m_cfg = MapperConfig.from_cfg(
             cfg, use_events=cfg.get("mapping", {}).get("use_events", False)
         )
-        self.tracker = Tracker(t_cfg, self.cam, self.settings, self.bound, self.eventnet)
+        # Tracking never trains decoder weights, so it can use the fused
+        # Pallas decode; skip it on CPU (interpret mode is for tests only).
+        fused = bool(
+            cfg.get("fused_decode", True)
+            and nice
+            and jax.default_backend() != "cpu"
+        )
+        tracker_settings = self.settings._replace(fused_decode=fused)
+        self.tracker = Tracker(t_cfg, self.cam, tracker_settings, self.bound, self.eventnet)
         self.mapper = Mapper(m_cfg, self.cam, self.settings, self.bound,
                              coarse_mapper=False, eventnet=self.eventnet)
         self.coarse_mapper = (
@@ -199,7 +209,13 @@ class EvenNICERSLAM:
 
     def _integrated_event(self, idx: int) -> np.ndarray:
         """Sum of GT event frames for the mapping window
-        (reference src/Mapper.py:768-772)."""
+        (reference src/Mapper.py:768-772). The tracker already accumulates
+        exactly this integral and hands it off at window boundaries
+        (src/Tracker.py:462-466) — reuse it instead of re-decoding
+        ``every_frame`` full frames from disk per mapping call."""
+        handoff = self.tracker.handoff_event_integrate
+        if handoff is not None:
+            return handoff
         every = self.m_cfg.every_frame
         total = None
         for i in range(every):

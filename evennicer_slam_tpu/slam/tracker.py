@@ -241,6 +241,13 @@ def track_frame_jit(
     else:
         lr_vec = jnp.full((7,), cfg.lr)
 
+    if settings.fused_decode and settings.nice:
+        # pack the frozen map snapshot once; every iteration's decode then
+        # needs a single gather per grid family
+        from evennicer_slam_tpu.models.decoders import pack_grids_for_tracking
+
+        grids = pack_grids_for_tracking(grids)
+
     loss_fn = functools.partial(
         _tracking_loss,
         decoders=decoders,
