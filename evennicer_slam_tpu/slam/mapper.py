@@ -285,7 +285,7 @@ def map_frame_jit(
                   "middle": 0.0, "fine": 0.0, "color": 0.0}
         )
 
-        def lr_tree_for(params, event_update: bool):
+        def lr_tree_for(params, event_update: bool, it=None):
             grids_, decoders_, cams_ = params
             g_lrs = {
                 lvl: jnp.asarray(lrs_host.get(lvl, 0.0), jnp.float32) * lr_factor
@@ -298,6 +298,9 @@ def map_frame_jit(
                 for lvl in grids_
             }
             dec_lr = jnp.asarray(lrs_host["decoders"], jnp.float32) * lr_factor
+            if not settings.nice and it is not None:
+                # iMAP* StepLR(step=200, gamma=0.8) (reference src/Mapper.py:433-434)
+                dec_lr = dec_lr * 0.8 ** (it // 200).astype(jnp.float32)
             dec_tree = _decoder_lr_tree(decoders_, {"decoders": dec_lr}, cfg_now, settings.nice)
             cam_lr = (
                 jnp.asarray(cfg.BA_cam_lr, jnp.float32)
@@ -328,7 +331,7 @@ def map_frame_jit(
             if use_frustum:
                 grads = (_mask_grid_grads(grads[0], grid_masks, coarse_mapper),
                          grads[1], grads[2])
-            lrs = lr_tree_for(params, event_update=False)
+            lrs = lr_tree_for(params, event_update=False, it=i)
             new_params, adam = adam_update(grads, adam, params, lrs)
             ev_loss = jnp.zeros(())
             if use_events:

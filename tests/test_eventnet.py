@@ -1,0 +1,129 @@
+"""EventNet tests: forward shapes, inference semantics, torch converter."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from evennicer_slam_tpu.models.eventnet import (
+    _ENCODER,
+    _DECODER,
+    eventnet_forward,
+    inference_event,
+    init_eventnet,
+    load_eventnet_torch,
+)
+
+
+class TestEventNetForward:
+    def test_shapes(self):
+        params = init_eventnet(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 32, 48, 6))
+        events, mask = eventnet_forward(params, x)
+        assert events.shape == (1, 32, 48, 2)
+        assert mask.shape == (1, 32, 48, 2)
+        assert float(mask.min()) >= 0.0 and float(mask.max()) <= 1.0
+
+    def test_odd_sizes_pad_correctly(self):
+        # reference pads up-sampled maps to match skips (unet_parts.py:56-67)
+        params = init_eventnet(jax.random.PRNGKey(0))
+        x = jnp.zeros((1, 50, 35, 6))
+        events, mask = eventnet_forward(params, x)
+        assert events.shape == (1, 50, 35, 2)
+
+    def test_inference_multiplies_mask(self):
+        params = init_eventnet(jax.random.PRNGKey(1))
+        img1 = jax.random.uniform(jax.random.PRNGKey(2), (32, 48, 3))
+        img2 = jax.random.uniform(jax.random.PRNGKey(3), (32, 48, 3))
+        pred, mask = inference_event(params, img1, img2)
+        events, m = eventnet_forward(
+            params, jnp.concatenate([img1, img2], -1)[None]
+        )
+        np.testing.assert_allclose(
+            np.asarray(pred), np.asarray((events * m[..., 1:2])[0]), atol=1e-6
+        )
+
+
+def make_torch_state(rng):
+    """Random torch state_dict keyed exactly like the reference UNet_2heads."""
+    state = {}
+
+    def dconv(prefix, cin, mid, cout):
+        state[f"{prefix}.double_conv.0.weight"] = torch.from_numpy(
+            rng.normal(size=(mid, cin, 3, 3), scale=0.1).astype(np.float32))
+        state[f"{prefix}.double_conv.1.weight"] = torch.from_numpy(
+            rng.uniform(0.5, 1.5, size=(mid,)).astype(np.float32))
+        state[f"{prefix}.double_conv.1.bias"] = torch.from_numpy(
+            rng.normal(size=(mid,), scale=0.1).astype(np.float32))
+        state[f"{prefix}.double_conv.1.running_mean"] = torch.from_numpy(
+            rng.normal(size=(mid,), scale=0.1).astype(np.float32))
+        state[f"{prefix}.double_conv.1.running_var"] = torch.from_numpy(
+            rng.uniform(0.5, 1.5, size=(mid,)).astype(np.float32))
+        state[f"{prefix}.double_conv.3.weight"] = torch.from_numpy(
+            rng.normal(size=(cout, mid, 3, 3), scale=0.1).astype(np.float32))
+        state[f"{prefix}.double_conv.4.weight"] = torch.from_numpy(
+            rng.uniform(0.5, 1.5, size=(cout,)).astype(np.float32))
+        state[f"{prefix}.double_conv.4.bias"] = torch.from_numpy(
+            rng.normal(size=(cout,), scale=0.1).astype(np.float32))
+        state[f"{prefix}.double_conv.4.running_mean"] = torch.from_numpy(
+            rng.normal(size=(cout,), scale=0.1).astype(np.float32))
+        state[f"{prefix}.double_conv.4.running_var"] = torch.from_numpy(
+            rng.uniform(0.5, 1.5, size=(cout,)).astype(np.float32))
+
+    dconv("inc", 6, 64, 64)
+    downs = [(64, 128, 128), (128, 256, 256), (256, 512, 512), (512, 512, 512)]
+    for i, (cin, mid, cout) in enumerate(downs, start=1):
+        dconv(f"down{i}.maxpool_conv.1", cin, mid, cout)
+    ups = [(1024, 512, 256), (512, 256, 128), (256, 128, 64), (128, 64, 64)]
+    for head in ("1", "2"):
+        for i, (cin, mid, cout) in enumerate(ups, start=1):
+            dconv(f"up{i}_{head}.conv", cin, mid, cout)
+        state[f"outc_{head}.conv.weight"] = torch.from_numpy(
+            rng.normal(size=(2, 64, 1, 1), scale=0.1).astype(np.float32))
+        state[f"outc_{head}.conv.bias"] = torch.from_numpy(
+            rng.normal(size=(2,), scale=0.1).astype(np.float32))
+    return state
+
+
+class TestConverter:
+    def test_load_and_run(self, tmp_path, rng):
+        state = make_torch_state(rng)
+        path = str(tmp_path / "eventnet.pth")
+        torch.save(state, path)
+        params = load_eventnet_torch(path)
+        x = jnp.asarray(rng.uniform(size=(1, 32, 48, 6)).astype(np.float32))
+        events, mask = eventnet_forward(params, x)
+        assert events.shape == (1, 32, 48, 2)
+        assert np.isfinite(np.asarray(events)).all()
+
+    def test_first_block_matches_torch(self, tmp_path, rng):
+        """DoubleConv #1 output parity against torch conv+BN (inference)."""
+        state = make_torch_state(rng)
+        path = str(tmp_path / "eventnet.pth")
+        torch.save(state, path)
+        params = load_eventnet_torch(path)
+
+        x = rng.uniform(size=(1, 16, 16, 6)).astype(np.float32)
+        from evennicer_slam_tpu.models.eventnet import _double_conv
+
+        ours = np.asarray(_double_conv(jnp.asarray(x), params["inc"]))
+
+        t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+        w1 = state["inc.double_conv.0.weight"]
+        h = torch.nn.functional.conv2d(t, w1, padding=1)
+        h = torch.nn.functional.batch_norm(
+            h, state["inc.double_conv.1.running_mean"],
+            state["inc.double_conv.1.running_var"],
+            state["inc.double_conv.1.weight"], state["inc.double_conv.1.bias"],
+            training=False,
+        ).relu()
+        h = torch.nn.functional.conv2d(h, state["inc.double_conv.3.weight"], padding=1)
+        h = torch.nn.functional.batch_norm(
+            h, state["inc.double_conv.4.running_mean"],
+            state["inc.double_conv.4.running_var"],
+            state["inc.double_conv.4.weight"], state["inc.double_conv.4.bias"],
+            training=False,
+        ).relu()
+        theirs = h.numpy().transpose(0, 2, 3, 1)
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)

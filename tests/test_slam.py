@@ -159,3 +159,16 @@ class TestTrackerUnits:
         t = np.asarray(tr.initial_pose_tensor(p1, p0))
         # extrapolated translation = 0.2 in x
         np.testing.assert_allclose(t[4:], [0.2, 0, 0], atol=1e-6)
+
+
+class TestMapperEventSupervision:
+    def test_mapper_event_path(self, tmp_path):
+        """The reference implements mapper event supervision but hardwires it
+        off (src/Mapper.py:811-823); here it's a config switch."""
+        cfg = tiny_cfg(tmp_path, events=True)
+        cfg["mapping"]["use_events"] = True
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.mapper.cfg.use_events
+        slam.run(end_frame=3, mesh=False, checkpoint=False)
+        assert np.isfinite(slam.estimate_c2w_list[:3]).all()
+        assert np.isfinite(np.asarray(slam.grids["middle"])).all()
