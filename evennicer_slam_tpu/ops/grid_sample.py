@@ -15,6 +15,7 @@ correspondence without the dummy batch/channel-first dims.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -125,11 +126,25 @@ def sample_packed_trilinear(packed: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndar
     fz = uz - z0
 
     rows = packed.reshape(-1, C8)[(z0 * Y + y0) * X + x0]  # [N, 8C]
-    corners = rows.reshape(rows.shape[0], 8, C).astype(jnp.float32)
-    wz = jnp.stack([1 - fz, fz], axis=-1)  # [N, 2]
-    wy = jnp.stack([1 - fy, fy], axis=-1)
-    wx = jnp.stack([1 - fx, fx], axis=-1)
-    w = (wz[:, :, None, None] * wy[:, None, :, None] * wx[:, None, None, :]).reshape(
-        -1, 8
-    )
-    return jnp.sum(corners * w[..., None], axis=1)
+    # Reduce over corners by SLICING the contiguous row (a [N, 8C] ->
+    # [N, 8, C] reshape forces worse layouts), keeping the rows in the packed
+    # dtype — upcasting them to f32 doubled the layout-copy bytes.
+    # KNOWN LIMIT: XLA still materializes one {1,0}->{0,1} layout copy of the
+    # gathered rows for the downstream matmuls (visible in op profiles);
+    # eliminating it needs a column-major decode or a fused Pallas gather.
+    out = None
+    k = 0
+    for dz in (0, 1):
+        wz = fz if dz else (1 - fz)
+        for dy in (0, 1):
+            wzy = wz * (fy if dy else (1 - fy))
+            for dx in (0, 1):
+                w = wzy * (fx if dx else (1 - fx))
+                term = rows[:, k * C : (k + 1) * C].astype(jnp.float32) * w[:, None]
+                out = term if out is None else out + term
+                k += 1
+    # stop layout assignment from propagating the downstream matmuls'
+    # preferred (transposed) layout back onto the gathered [N, 8C] rows —
+    # that inserts a GB-scale transpose copy; transposing the narrow [N, C]
+    # output instead is 8x cheaper
+    return jax.lax.optimization_barrier(out)
