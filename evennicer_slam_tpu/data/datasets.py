@@ -51,11 +51,18 @@ def readEXR_onlydepth(filename: str) -> np.ndarray:
         return np.frombuffer(C, dtype=np.float32).reshape(isize)
     except ImportError:
         img = cv2.imread(filename, cv2.IMREAD_ANYCOLOR | cv2.IMREAD_ANYDEPTH)
-        if img is None:
-            raise IOError(f"cannot read EXR depth {filename}")
-        if img.ndim == 3:
-            img = img[..., 0]
-        return img.astype(np.float32)
+        if img is not None:
+            if img.ndim == 3:
+                img = img[..., 0]
+            return img.astype(np.float32)
+        # cv2 built without the EXR codec: use the bundled minimal reader
+        from evennicer_slam_tpu.data.exr import read_exr
+
+        chans = read_exr(filename)
+        for key in ("Y", "Z", "R"):
+            if key in chans:
+                return chans[key]
+        return next(iter(chans.values()))
 
 
 def as_intrinsics_matrix(intrinsics) -> np.ndarray:

@@ -1,0 +1,242 @@
+"""Dataset-family reader tests over generated on-disk fixtures, plus the
+bundled EXR reader."""
+
+import os
+import struct
+import zlib
+
+import cv2
+import numpy as np
+import pytest
+
+from evennicer_slam_tpu.data.datasets import get_dataset
+from evennicer_slam_tpu.data.exr import read_exr, write_exr_float
+from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
+
+H, W = 24, 32
+CAM = {"H": H, "W": W, "fx": 20.0, "fy": 20.0, "cx": 15.5, "cy": 11.5,
+       "png_depth_scale": 1000.0, "crop_edge": 0}
+
+
+def write_png_frame(color_path, depth_path, k):
+    rng = np.random.default_rng(k)
+    color = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+    depth = (rng.uniform(0.5, 2.0, size=(H, W)) * 1000).astype(np.uint16)
+    cv2.imwrite(color_path, color)
+    cv2.imwrite(depth_path, depth)
+
+
+class TestEXR:
+    def test_roundtrip_uncompressed(self, tmp_path, rng):
+        d = rng.uniform(0.1, 5.0, size=(10, 16)).astype(np.float32)
+        p = str(tmp_path / "d.exr")
+        write_exr_float(p, {"Y": d})
+        out = read_exr(p)
+        np.testing.assert_allclose(out["Y"], d, atol=1e-7)
+
+    def test_zips_compressed(self, tmp_path, rng):
+        """Hand-build a ZIPS (per-scanline zlib) EXR and read it back."""
+        # compressible data so zlib actually shrinks the rows (EXR stores the
+        # raw bytes whenever compression does not help)
+        d = np.tile(np.float32([[0.5, 1.25, 2.0, 2.0, 1.25, 0.5, 0.5, 0.5]]), (6, 1))
+        p = str(tmp_path / "plain.exr")
+        write_exr_float(p, {"Y": d})
+        raw = open(p, "rb").read()
+        # rewrite: compression byte NONE(0) -> ZIPS(2), recompress each block
+        comp_off = raw.index(b"compression\x00compression\x00") + len(
+            b"compression\x00compression\x00") + 4
+        buf = bytearray(raw)
+        buf[comp_off] = 2
+
+        def fwd_transform(block: bytes) -> bytes:
+            a = np.frombuffer(block, np.uint8)
+            n = len(a)
+            half = (n + 1) // 2
+            inter = np.empty(n, np.uint8)
+            inter[:half] = a[0::2]
+            inter[half:] = a[1::2]
+            x = inter.astype(np.int64)
+            deltas = ((x[1:] - x[:-1] + 128) % 256).astype(np.uint8)
+            return bytes([inter[0]]) + deltas.tobytes()
+
+        # parse offsets table (header identical)
+        hdr_end = raw.index(b"\x00", raw.index(b"screenWindowWidth")) + 1 + 4 + 4 + 1
+        # simpler: locate the 6 block starts via known layout from writer
+        line_bytes = 8 * 4
+        n_blocks = 6
+        # find the offset table by scanning from the end of header:
+        # the writer places it right before the first block; recompute:
+        first_block_off = len(raw) - n_blocks * (8 + line_bytes)
+        table_off = first_block_off - 8 * n_blocks
+        new_blocks = []
+        for i in range(n_blocks):
+            boff = first_block_off + i * (8 + line_bytes)
+            y, size = struct.unpack_from("<ii", raw, boff)
+            payload = raw[boff + 8 : boff + 8 + size]
+            comp = zlib.compress(fwd_transform(payload))
+            if len(comp) >= len(payload):
+                comp = payload  # EXR stores raw when compression doesn't help
+            new_blocks.append((y, comp))
+        out = bytearray(buf[:table_off])
+        offs = []
+        pos = table_off + 8 * n_blocks
+        body = b""
+        for y, comp in new_blocks:
+            offs.append(pos)
+            body += struct.pack("<ii", y, len(comp)) + comp
+            pos += 8 + len(comp)
+        out += b"".join(struct.pack("<q", o) for o in offs) + body
+        p2 = str(tmp_path / "zips.exr")
+        open(p2, "wb").write(bytes(out))
+        got = read_exr(p2)
+        np.testing.assert_allclose(got["Y"], d, atol=1e-7)
+        # ensure the ZIP path was actually exercised
+        assert any(len(c) < line_bytes for _, c in new_blocks)
+
+
+class TestScanNet:
+    def test_reader(self, tmp_path):
+        root = tmp_path / "scan"
+        for sub in ("color", "depth", "pose"):
+            os.makedirs(root / "frames" / sub)
+        for k in range(3):
+            write_png_frame(str(root / "frames" / "color" / f"{k}.jpg"),
+                            str(root / "frames" / "depth" / f"{k}.png"), k)
+            pose = np.eye(4)
+            pose[:3, 3] = [k * 0.1, 0, 0]
+            np.savetxt(str(root / "frames" / "pose" / f"{k}.txt"), pose)
+        cfg = {"dataset": "scannet", "cam": CAM,
+               "data": {"input_folder": str(root)}}
+        ds = get_dataset(cfg)
+        assert len(ds) == 3
+        f = ds[1]
+        assert f.color.shape == (H, W, 3) and f.depth.shape == (H, W)
+        # y/z flip applied
+        assert f.c2w[1, 1] == -1.0
+        np.testing.assert_allclose(f.c2w[0, 3], 0.1, atol=1e-6)
+
+
+class TestTUM:
+    def test_reader(self, tmp_path):
+        root = tmp_path / "tum"
+        os.makedirs(root / "rgb")
+        os.makedirs(root / "depth")
+        rgb_lines, d_lines, gt_lines = [], [], ["# header"]
+        for k in range(3):
+            t = 1000.0 + k
+            write_png_frame(str(root / "rgb" / f"{t:.1f}.png"),
+                            str(root / "depth" / f"{t:.1f}.png"), k)
+            rgb_lines.append(f"{t:.4f} rgb/{t:.1f}.png")
+            d_lines.append(f"{t:.4f} depth/{t:.1f}.png")
+            gt_lines.append(f"{t:.4f} {0.1*k:.3f} 0 0 0 0 0 1")
+        (root / "rgb.txt").write_text("\n".join(rgb_lines))
+        (root / "depth.txt").write_text("\n".join(d_lines))
+        (root / "groundtruth.txt").write_text("\n".join(gt_lines))
+        cfg = {"dataset": "tumrgbd", "cam": CAM,
+               "data": {"input_folder": str(root)}}
+        ds = get_dataset(cfg)
+        assert len(ds) == 3
+        f0 = ds[0]
+        # first pose normalized to identity (then y/z flipped)
+        np.testing.assert_allclose(np.abs(f0.c2w), np.eye(4), atol=1e-6)
+
+
+class TestAzure:
+    def test_reader_with_trajectory_log(self, tmp_path):
+        root = tmp_path / "az"
+        os.makedirs(root / "color")
+        os.makedirs(root / "depth")
+        os.makedirs(root / "scene")
+        lines = []
+        for k in range(2):
+            write_png_frame(str(root / "color" / f"{k:04d}.jpg"),
+                            str(root / "depth" / f"{k:04d}.png"), k)
+            pose = np.eye(4)
+            pose[:3, 3] = [0, k * 0.2, 0]
+            lines.append(f"{k} {k} 1.0")
+            lines += [" ".join(f"{v:.6f}" for v in row) for row in pose]
+        (root / "scene" / "trajectory.log").write_text("\n".join(lines))
+        cfg = {"dataset": "azure", "cam": CAM,
+               "data": {"input_folder": str(root)}}
+        ds = get_dataset(cfg)
+        assert len(ds) == 2
+        np.testing.assert_allclose(ds[1].c2w[1, 3], 0.2, atol=1e-6)
+
+
+class TestCoFusion:
+    def test_reader_exr_depth(self, tmp_path, rng):
+        root = tmp_path / "cf"
+        os.makedirs(root / "colour")
+        os.makedirs(root / "depth_noise")
+        for k in range(2):
+            color = (rng.uniform(size=(H, W, 3)) * 255).astype(np.uint8)
+            cv2.imwrite(str(root / "colour" / f"{k:04d}.png"), color)
+            depth = rng.uniform(0.5, 2.0, size=(H, W)).astype(np.float32)
+            write_exr_float(str(root / "depth_noise" / f"{k:04d}.exr"),
+                            {"Y": depth})
+        cam = dict(CAM, png_depth_scale=1.0)
+        cfg = {"dataset": "cofusion", "cam": cam,
+               "data": {"input_folder": str(root)}}
+        ds = get_dataset(cfg)
+        assert len(ds) == 2
+        f = ds[0]
+        assert f.depth.shape == (H, W)
+        assert 0.4 < f.depth.mean() < 2.1
+        # identity proxy poses
+        np.testing.assert_allclose(np.abs(f.c2w), np.eye(4), atol=1e-6)
+
+
+class TestRPGEvent:
+    def _make(self, tmp_path, density=None):
+        root = tmp_path / "rpg"
+        ev_dir = tmp_path / "rpg_ev"
+        os.makedirs(root / "results")
+        os.makedirs(ev_dir)
+        n_img = 3
+        n_event = (n_img * density - density) if density else n_img - 1
+        for k in range(n_img):
+            write_png_frame(str(root / "results" / f"frame{k:04d}.png"),
+                            str(root / "results" / f"depth{k:04d}.png"), k)
+        for k in range(n_event):
+            ev = np.zeros((H, W, 3), np.uint8)
+            ev[..., 2] = 3  # BGR file: B=pos? reference layout [+,-,0] in RGB
+            cv2.imwrite(str(ev_dir / f"ev{k:04d}.png"), ev)
+        n_pose = n_event + 1 if density else n_img
+        lines = [" ".join(map(str, np.eye(4).reshape(-1))) for _ in range(n_pose)]
+        (root / "traj.txt").write_text("\n".join(lines))
+        if density:
+            (root / f"traj_density{density}.txt").write_text("\n".join(lines))
+        return root, ev_dir
+
+    def test_rpg_event(self, tmp_path):
+        root, ev = self._make(tmp_path)
+        cfg = {"dataset": "rpg_event", "cam": CAM,
+               "data": {"input_folder": str(root), "event_folder": str(ev)}}
+        ds = get_dataset(cfg)
+        assert ds.has_events and len(ds) == 3
+        f1 = ds[1]
+        assert f1.event.shape == (H, W, 2)
+        # frame 0 gets an all-black event image
+        assert ds[0].event.sum() == 0
+
+    def test_rpg_event_dense(self, tmp_path):
+        root, ev = self._make(tmp_path, density=2)
+        cfg = {"dataset": "rpg_event_dense", "cam": CAM,
+               "data": {"input_folder": str(root), "event_folder": str(ev),
+                        "density": 2}}
+        ds = get_dataset(cfg)
+        assert len(ds) == 5  # n_event + 1
+        assert ds[3].color.shape == (H, W, 3)
+
+
+class TestCropPipeline:
+    def test_crop_size_and_edge(self, tmp_path):
+        d = make_synthetic_replica(str(tmp_path / "s"), n_frames=2, H=H, W=W,
+                                   fx=20.0, fy=20.0)
+        cfg = {"dataset": "replica", "cam": dict(CAM, crop_size=[20, 28],
+                                                 crop_edge=2),
+               "data": d["data"]}
+        ds = get_dataset(cfg)
+        f = ds[0]
+        assert f.color.shape == (16, 24, 3)
+        assert f.depth.shape == (16, 24)
