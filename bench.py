@@ -57,7 +57,9 @@ def main():
             "unblurred_weight": 0, "kernel_weights": [1],
         },
         "tracking": {"ignore_edge_W": 100, "ignore_edge_H": 100},
-        "mapping": {"mesh_freq": 10**9, "ckpt_freq": 10**9},
+        # first-frame init runs in the (unmeasured) warmup; trim it so a
+        # cold-cache bench stays inside driver time limits
+        "mapping": {"mesh_freq": 10**9, "ckpt_freq": 10**9, "iters_first": 300},
         "data": {"output": os.path.join(scene_dir, "output")},
     })
 
