@@ -8,7 +8,6 @@ framework is dependency-light.
 
 from __future__ import annotations
 
-import struct
 from typing import List, Optional, Sequence
 
 import numpy as np

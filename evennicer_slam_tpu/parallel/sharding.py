@@ -24,7 +24,7 @@ Everything is expressed with ``jax.sharding.NamedSharding`` constraints under
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp

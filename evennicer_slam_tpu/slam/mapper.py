@@ -57,7 +57,7 @@ from evennicer_slam_tpu.slam.keyframes import (
     keyframe_selection_overlap,
     random_select,
 )
-from evennicer_slam_tpu.utils.optim import AdamState, adam_init, adam_update
+from evennicer_slam_tpu.utils.optim import adam_init, adam_update
 
 
 class MapperConfig(NamedTuple):
