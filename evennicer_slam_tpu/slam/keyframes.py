@@ -16,10 +16,15 @@ from evennicer_slam_tpu.slam.camera import Camera
 
 
 class KeyframeStore:
-    """Append-only keyframe list (reference keyframe_list / keyframe_dict)."""
+    """Append-only keyframe list (reference keyframe_list / keyframe_dict).
+
+    Images are kept in host RAM (selection/meshing) plus a lazy device cache:
+    the mapper's optimization window would otherwise re-upload ~10 MB/frame
+    over the (slow) host link on every mapping call."""
 
     def __init__(self):
         self.frames: List[Dict] = []
+        self._device_cache: Dict[int, tuple] = {}
 
     def __len__(self):
         return len(self.frames)
@@ -42,6 +47,17 @@ class KeyframeStore:
 
     def set_pose(self, kf_index: int, est_c2w: np.ndarray):
         self.frames[kf_index]["est_c2w"] = np.asarray(est_c2w).copy()
+
+    def device_images(self, kf_index: int):
+        """(color, depth) as device arrays, uploaded once per keyframe."""
+        import jax.numpy as jnp
+
+        if kf_index not in self._device_cache:
+            f = self.frames[kf_index]
+            self._device_cache[kf_index] = (
+                jnp.asarray(f["color"]), jnp.asarray(f["depth"])
+            )
+        return self._device_cache[kf_index]
 
 
 def _project(points: np.ndarray, w2c: np.ndarray, cam: Camera):

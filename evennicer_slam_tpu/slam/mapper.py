@@ -471,6 +471,7 @@ class Mapper:
         seed: int = 0,
         grids=None,
         decoders=None,
+        cur_images_dev=None,
     ):
         """One mapping call. Returns (grids, decoders, new_cur_c2w or None)."""
         cfg = self.cfg
@@ -479,18 +480,26 @@ class Mapper:
         K = len(window)
         pix_per_img = cfg.pixels // K
 
-        colors = np.stack(
-            [
-                np.asarray(cur_gt_color) if f == -1 else self.keyframes.frames[f]["color"]
-                for f in window
-            ]
-        ).astype(np.float32)
-        depths = np.stack(
-            [
-                np.asarray(cur_gt_depth) if f == -1 else self.keyframes.frames[f]["depth"]
-                for f in window
-            ]
-        ).astype(np.float32)
+        # window images assembled on DEVICE: keyframes from the store's
+        # device cache, the current frame from the pipeline's upload — the
+        # host link is slow enough that re-uploading the window every call
+        # dominated the mapping wall time
+        if cur_images_dev is not None:
+            cur_color_dev, cur_depth_dev = cur_images_dev
+        else:
+            cur_color_dev = jnp.asarray(np.asarray(cur_gt_color))
+            cur_depth_dev = jnp.asarray(np.asarray(cur_gt_depth))
+        col_list, dep_list = [], []
+        for f in window:
+            if f == -1:
+                col_list.append(cur_color_dev)
+                dep_list.append(cur_depth_dev)
+            else:
+                c, d = self.keyframes.device_images(f)
+                col_list.append(c)
+                dep_list.append(d)
+        colors = jnp.stack(col_list)
+        depths = jnp.stack(dep_list)
         fixed_c2w = np.stack(
             [
                 cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"]
@@ -567,8 +576,8 @@ class Mapper:
             jnp.asarray(cam_tensors),
             jnp.asarray(fixed_c2w),
             jnp.asarray(opt_mask),
-            jnp.asarray(colors),
-            jnp.asarray(depths),
+            colors,
+            depths,
             grid_masks,
             self.bound,
             jax.random.PRNGKey(seed),

@@ -234,11 +234,10 @@ class EvenNICERSLAM:
             total = ev if total is None else total + ev
         return total
 
-    def _map_frame(self, idx: int, frame, init: bool, color_refine: bool = False):
+    def _map_frame(self, idx: int, frame, init: bool, color_refine: bool = False,
+                   images_dev=None):
         cfg = self.cfg
         m = self.m_cfg
-        gt_color = jnp.asarray(frame.color)
-        gt_depth = jnp.asarray(frame.depth)
         gt_event_int = self._integrated_event(idx) if self.use_events else frame.event
         cur_c2w = self.estimate_c2w_list[idx].copy()
 
@@ -273,6 +272,7 @@ class EvenNICERSLAM:
                     seed=idx * 97 + outer_it,
                     grids=self.grids,
                     decoders=self.decoders,
+                    cur_images_dev=images_dev,
                 )
                 self.grids = grids
                 self.decoders = decoders
@@ -326,7 +326,8 @@ class EvenNICERSLAM:
                 if self.use_events:
                     self.tracker.reset_event_integration(frame.event.shape)
                 t0 = time.perf_counter()
-                self._map_frame(idx, frame, init=True)
+                self._map_frame(idx, frame, init=True,
+                                images_dev=(gt_color, gt_depth))
                 self.timings["map"] += time.perf_counter() - t0
                 self.tracker.pre_gt_color = gt_color
         else:
@@ -362,14 +363,16 @@ class EvenNICERSLAM:
         mapped = False
         if idx != 0 and idx % self.m_cfg.every_frame == 0:
             t0 = time.perf_counter()
-            self._map_frame(idx, frame, init=False)
+            self._map_frame(idx, frame, init=False,
+                            images_dev=(gt_color, gt_depth))
             self.timings["map"] += time.perf_counter() - t0
             mapped = True
 
         # final frame: color refinement + meshes
         if idx == self.n_img - 1:
             if self.m_cfg.color_refine and self.nice:
-                self._map_frame(idx, frame, init=False, color_refine=True)
+                self._map_frame(idx, frame, init=False, color_refine=True,
+                                images_dev=(gt_color, gt_depth))
             mapped = True
 
         self.idx = idx
