@@ -127,11 +127,13 @@ def sample_packed_trilinear(packed: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndar
 
     rows = packed.reshape(-1, C8)[(z0 * Y + y0) * X + x0]  # [N, 8C]
     # Reduce over corners by SLICING the contiguous row (a [N, 8C] ->
-    # [N, 8, C] reshape forces worse layouts), keeping the rows in the packed
-    # dtype — upcasting them to f32 doubled the layout-copy bytes.
-    # KNOWN LIMIT: XLA still materializes one {1,0}->{0,1} layout copy of the
-    # gathered rows for the downstream matmuls (visible in op profiles);
-    # eliminating it needs a column-major decode or a fused Pallas gather.
+    # [N, 8, C] reshape forces worse layouts), keeping rows in the packed
+    # dtype. KNOWN LIMIT: XLA materializes one {1,0}->{0,1} layout copy of
+    # the gathered rows for the downstream matmuls (~45% of decode device
+    # time in op profiles). Measured alternatives that were SLOWER: a Pallas
+    # corner-reduce kernel (residual re-reads in its VJP), optimization
+    # barriers (the barrier itself gets the transposed layout), column-major
+    # activations, and f32 rows (doubles the copied bytes).
     out = None
     k = 0
     for dz in (0, 1):
@@ -143,8 +145,4 @@ def sample_packed_trilinear(packed: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndar
                 term = rows[:, k * C : (k + 1) * C].astype(jnp.float32) * w[:, None]
                 out = term if out is None else out + term
                 k += 1
-    # stop layout assignment from propagating the downstream matmuls'
-    # preferred (transposed) layout back onto the gathered [N, 8C] rows —
-    # that inserts a GB-scale transpose copy; transposing the narrow [N, C]
-    # output instead is 8x cheaper
-    return jax.lax.optimization_barrier(out)
+    return out
