@@ -30,20 +30,11 @@ def main():
     n_frames = 16
     warm_frames = 6  # frames 0..5 include first-map + all compiles
     scene_dir = os.environ.get("ENSLAM_BENCH_SCENE", "/tmp/enslam_bench_scene")
-    marker = os.path.join(scene_dir, f".done_{n_frames}x680x1200")
-    if not os.path.exists(marker):
-        frag = make_synthetic_replica(
-            scene_dir, n_frames=n_frames, H=680, W=1200, fx=600.0, fy=600.0,
-            bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
-            traj_step=0.01,
-        )
-        open(marker, "w").write("ok")
-    else:
-        frag = make_synthetic_replica(  # cheap re-call rewrites small files only
-            scene_dir, n_frames=n_frames, H=680, W=1200, fx=600.0, fy=600.0,
-            bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
-            traj_step=0.01,
-        )
+    frag = make_synthetic_replica(
+        scene_dir, n_frames=n_frames, H=680, W=1200, fx=600.0, fy=600.0,
+        bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
+        traj_step=0.01,
+    )
 
     cfg = load_config(default_config_path(nice=True))
     update_recursive(cfg, frag)

@@ -354,9 +354,6 @@ class EvenNICERSLAM:
         if idx > 0 and self.cfg.get("enable_vis", True):
             vis = self._get_vis("tracking")
             if vis.should_vis(idx, 0):
-                ev_vis = None
-                if self.use_events and self.tracker.gt_event_integrate is not None:
-                    ev_vis = self.tracker.gt_event_integrate
                 vis.vis(idx, 0, gt_depth, gt_color,
                         self.estimate_c2w_list[idx], self.grids, self.decoders)
 
