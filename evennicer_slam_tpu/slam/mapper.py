@@ -79,6 +79,7 @@ class MapperConfig(NamedTuple):
     fix_color: bool = False
     w_color_loss: float = 0.2
     color_refine: bool = True
+    save_selected_keyframes_info: bool = False
     use_events: bool = False
     event_scale_factor: float = 0.15
     imap_decoders_lr: float = 0.0002
@@ -119,6 +120,7 @@ class MapperConfig(NamedTuple):
             fix_color=m["fix_color"],
             w_color_loss=m["w_color_loss"],
             color_refine=m["color_refine"],
+            save_selected_keyframes_info=m.get("save_selected_keyframes_info", False),
             use_events=use_events,
             event_scale_factor=cfg.get("event", {}).get("scale_factor", 0.15),
             imap_decoders_lr=m.get("imap_decoders_lr", 0.0002),
@@ -427,6 +429,7 @@ class Mapper:
         self.rng = np.random.default_rng(seed)
         self.BA_active = False
         self.last_loss = 0.0
+        self.selected_keyframes = {}  # per-frame window info (opt-in)
         self.selection = (
             "global" if coarse_mapper else cfg.keyframe_selection
         )
@@ -479,6 +482,18 @@ class Mapper:
         window = self.select_window(cur_gt_color, cur_gt_depth, cur_c2w)
         K = len(window)
         pix_per_img = cfg.pixels // K
+
+        if cfg.save_selected_keyframes_info:
+            info = []
+            for f in window:
+                if f == -1:
+                    info.append({"idx": idx, "est_c2w": np.asarray(cur_c2w).copy()})
+                else:
+                    kf = self.keyframes.frames[f]
+                    info.append({"idx": kf["idx"],
+                                 "est_c2w": kf["est_c2w"].copy(),
+                                 "gt_c2w": kf["gt_c2w"].copy()})
+            self.selected_keyframes[idx] = info
 
         # window images assembled on DEVICE: keyframes from the store's
         # device cache, the current frame from the pipeline's upload — the

@@ -295,6 +295,24 @@ class EvenNICERSLAM:
         self.mapping_cnt += 1
         self.pre_gt_color_mapper = frame.color
 
+    def _predict_event_for_vis(self, idx: int, gt_depth):
+        """Low-res GT event integral + EventNet prediction for the visual
+        panels (reference Visualizer.vis_event, src/utils/Visualizer.py)."""
+        from evennicer_slam_tpu.models.eventnet import inference_event
+        from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
+
+        tr = self.tracker
+        lo = tr.lo_hw
+        gt_ev_lo = resize_nearest(tr.gt_event_integrate, lo)
+        prev_lo = resize_bilinear(tr.pre_gt_color, lo)
+        _, _, cur_lo = self.renderer.render_img_rescale(
+            self.decoders, self.grids,
+            jnp.asarray(self.estimate_c2w_list[idx][:3]), "color",
+            gt_depth=gt_depth, scale_factor=self.t_cfg.scale_factor,
+        )
+        pred, _ = inference_event(self.eventnet, prev_lo, cur_lo)
+        return np.asarray(gt_ev_lo), np.asarray(pred)
+
     def _upload_frame(self, frame):
         """Host->device frame upload. The relay link makes f32 transfers the
         dominant per-frame host cost (~200 ms at 680x1200), so color/event are
@@ -354,8 +372,12 @@ class EvenNICERSLAM:
         if idx > 0 and self.cfg.get("enable_vis", True):
             vis = self._get_vis("tracking")
             if vis.should_vis(idx, 0):
+                gt_ev_lo = pred_ev = None
+                if self.use_events and self.tracker.pre_gt_color is not None:
+                    gt_ev_lo, pred_ev = self._predict_event_for_vis(idx, gt_depth)
                 vis.vis(idx, 0, gt_depth, gt_color,
-                        self.estimate_c2w_list[idx], self.grids, self.decoders)
+                        self.estimate_c2w_list[idx], self.grids, self.decoders,
+                        gt_event=gt_ev_lo, pred_event=pred_ev)
 
         mapped = False
         if idx != 0 and idx % self.m_cfg.every_frame == 0:

@@ -66,6 +66,7 @@ class CheckpointLogger:
                 {
                     "keyframe_list": slam.mapper.keyframes.indices,
                     "keyframes": slam.mapper.keyframes.frames,
+                    "selected_keyframes": slam.mapper.selected_keyframes or None,
                 },
                 f,
             )

@@ -172,3 +172,14 @@ class TestMapperEventSupervision:
         slam.run(end_frame=3, mesh=False, checkpoint=False)
         assert np.isfinite(slam.estimate_c2w_list[:3]).all()
         assert np.isfinite(np.asarray(slam.grids["middle"])).all()
+
+
+class TestEventVisualization:
+    def test_event_panels_written(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, events=True)
+        cfg["tracking"]["vis_freq"] = 2
+        slam = EvenNICERSLAM(cfg, nice=True)
+        slam.run(end_frame=3, mesh=False, checkpoint=False)
+        vis_dir = os.path.join(slam.output, "tracking_vis")
+        files = os.listdir(vis_dir) if os.path.isdir(vis_dir) else []
+        assert any(f.endswith(".jpg") for f in files)
