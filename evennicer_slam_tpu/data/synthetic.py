@@ -121,6 +121,8 @@ def circular_trajectory(
     radius: float = 0.3,
     height_amp: float = 0.05,
     step: float = None,
+    jitter: float = 0.0,
+    jitter_seed: int = 7,
 ) -> np.ndarray:
     """Smooth camera path inside the room: the eye orbits the center while the
     gaze pans along the walls (so views hit corners — varied depth gives
@@ -128,11 +130,16 @@ def circular_trajectory(
     (radians); default sweeps a quarter turn over the sequence.
     Returns [n, 4, 4] c2w."""
     poses = []
+    jr = np.random.default_rng(jitter_seed)
     for k in range(n):
         th = k * step if step is not None else 2.0 * np.pi * k / max(n, 1) * 0.25
         eye = center + np.array(
             [radius * np.cos(th), radius * np.sin(th), height_amp * np.sin(2 * th)]
         )
+        if jitter > 0:
+            # non-smooth motion: breaks constant-velocity extrapolation so
+            # frame-to-frame supervision (events) has something to correct
+            eye = eye + jr.normal(scale=jitter, size=3)
         gaze = th + 0.6  # pan ahead of the eye position
         # pitch the gaze down toward the floor corner so depth varies along
         # the image v-axis too (full 6-DoF observability)
@@ -153,6 +160,7 @@ def make_synthetic_replica(
     bound: Optional[np.ndarray] = None,
     event_gain: float = 20.0,
     traj_step: float = None,
+    traj_jitter: float = 0.0,
 ) -> Dict:
     """Write a Replica-format dataset (+ event folder) and return a config
     fragment describing it. Layout matches reference expectations:
@@ -175,7 +183,7 @@ def make_synthetic_replica(
         os.remove(stale)
 
     center = bound.mean(axis=1)
-    poses = circular_trajectory(n_frames, center, step=traj_step)
+    poses = circular_trajectory(n_frames, center, step=traj_step, jitter=traj_jitter)
 
     traj_lines = []
     prev_intensity = None

@@ -115,12 +115,19 @@ class EvenNICERSLAM:
             and cfg.get("event", {})
         )
 
-        # EventNet
+        # EventNet: torch .pth (converted) or native .npz weights
         self.eventnet = {}
         if self.use_events:
             path = cfg["event"].get("pretrained_path")
             if path and os.path.exists(path):
-                self.eventnet = load_eventnet_torch(path)
+                if path.endswith(".npz"):
+                    from evennicer_slam_tpu.models.eventnet_train import (
+                        load_eventnet_npz,
+                    )
+
+                    self.eventnet = load_eventnet_npz(path)
+                else:
+                    self.eventnet = load_eventnet_torch(path)
             else:
                 self.eventnet = init_eventnet(k_ev)
 

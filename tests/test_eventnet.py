@@ -127,3 +127,38 @@ class TestConverter:
         ).relu()
         theirs = h.numpy().transpose(0, 2, 3, 1)
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+class TestEventNetTraining:
+    def test_loss_decreases(self):
+        import jax
+        import jax.numpy as jnp
+        from evennicer_slam_tpu.models.eventnet_train import (
+            _loss_fn, make_pair_batch, train_eventnet,
+        )
+        from evennicer_slam_tpu.models.eventnet import init_eventnet
+
+        rng = np.random.default_rng(0)
+        bound = np.array([[-1.2, 1.2], [-1.0, 1.0], [-0.8, 0.8]], np.float32)
+        i1, i2, ev = make_pair_batch(rng, 2, (16, 24), bound)
+        assert ev.shape == (2, 16, 24, 2)
+        p0 = init_eventnet(jax.random.PRNGKey(0))
+        l0, _ = _loss_fn(p0, jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(ev))
+        params = train_eventnet(steps=6, batch=2, hw=(16, 24), lr=1e-3, seed=0)
+        l1, _ = _loss_fn(params, jnp.asarray(i1), jnp.asarray(i2), jnp.asarray(ev))
+        assert float(l1) < float(l0)
+
+    def test_npz_roundtrip(self, tmp_path):
+        import jax
+        from evennicer_slam_tpu.models.eventnet import init_eventnet
+        from evennicer_slam_tpu.models.eventnet_train import (
+            load_eventnet_npz, save_eventnet_npz,
+        )
+
+        params = init_eventnet(jax.random.PRNGKey(3))
+        p = str(tmp_path / "e.npz")
+        save_eventnet_npz(params, p)
+        back = load_eventnet_npz(p)
+        a = np.asarray(params["inc"]["w1"])
+        b = np.asarray(back["inc"]["w1"])
+        np.testing.assert_allclose(a, b, atol=0)
