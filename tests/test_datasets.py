@@ -7,7 +7,6 @@ import zlib
 
 import cv2
 import numpy as np
-import pytest
 
 from evennicer_slam_tpu.data.datasets import get_dataset
 from evennicer_slam_tpu.data.exr import read_exr, write_exr_float

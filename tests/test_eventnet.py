@@ -3,12 +3,9 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
-import pytest
 import torch
 
 from evennicer_slam_tpu.models.eventnet import (
-    _ENCODER,
-    _DECODER,
     eventnet_forward,
     inference_event,
     init_eventnet,
