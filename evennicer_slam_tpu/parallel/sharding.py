@@ -93,6 +93,25 @@ def _sharded_loss(
     return loss
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "settings", "stage", "lr", "w_color_loss"),
+)
+def _multichip_step(
+    grids, decoders, adam_state, rays_o, rays_d, gt_depth, gt_color, bound,
+    mesh, settings, stage, lr, w_color_loss,
+):
+    params = (grids, decoders)
+    loss, grads = jax.value_and_grad(
+        lambda p: _sharded_loss(
+            p[0], p[1], rays_o, rays_d, gt_depth, gt_color, bound,
+            mesh, settings, stage, w_color_loss,
+        )
+    )(params)
+    new_params, new_state = adam_update(grads, adam_state, params, lr)
+    return new_params[0], new_params[1], new_state, loss
+
+
 def multichip_train_step(
     mesh: Mesh,
     grids,
@@ -110,24 +129,12 @@ def multichip_train_step(
 ):
     """One sharded mapping-style training step: render sharded rays, psum
     gradients, Adam-update grids+decoders. Returns (grids, decoders, state,
-    loss)."""
-
-    @functools.partial(jax.jit, static_argnames=("stage",))
-    def step(grids, decoders, adam_state, rays_o, rays_d, gt_depth, gt_color, bound, stage):
-        params = (grids, decoders)
-        loss, grads = jax.value_and_grad(
-            lambda p: _sharded_loss(
-                p[0], p[1], rays_o, rays_d, gt_depth, gt_color, bound,
-                mesh, settings, stage, w_color_loss,
-            )
-        )(params)
-        new_params, new_state = adam_update(grads, adam_state, params, lr)
-        return new_params[0], new_params[1], new_state, loss
-
+    loss). The jitted executable is module-level (keyed on the hashable
+    mesh/settings/stage statics) so repeated calls hit the jit cache."""
     with mesh:
-        return step(
+        return _multichip_step(
             grids, decoders, adam_state, rays_o, rays_d, gt_depth, gt_color,
-            bound, stage,
+            bound, mesh, settings, stage, lr, w_color_loss,
         )
 
 
