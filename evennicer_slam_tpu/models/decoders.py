@@ -80,6 +80,22 @@ def _torch_linear_default(key, shape):
     return jax.random.uniform(key, shape, minval=-bound, maxval=bound)
 
 
+POS_EMBEDDING_METHODS = ("fourier", "same", "nerf", "fc_relu")
+
+
+def _nerf_freq_bands(name: str):
+    """Reference Nerf_positional_embedding frequency bands
+    (decoder.py:33-67, dispatch at :137-147): color decoders use multires=10
+    with log sampling, others multires=5 linear."""
+    if "color" in name:
+        multires = 10
+        bands = 2.0 ** np.linspace(0.0, multires - 1, multires)
+    else:
+        multires = 5
+        bands = np.linspace(2.0 ** 0.0, 2.0 ** (multires - 1), multires)
+    return jnp.asarray(bands, jnp.float32)
+
+
 def _init_mlp(
     key: jax.Array,
     c_dim: int,
@@ -88,24 +104,42 @@ def _init_mlp(
     skips,
     color: bool,
     concat_feature: bool,
-    pos_embedding: bool = True,
+    pos_embedding_method: str = "fourier",
+    name: str = "",
 ) -> Dict[str, Any]:
     """Parameters for one reference-`MLP` (decoder.py:91-203).
 
     Weights are stored [in, out] (row-vector convention: y = x @ W + b).
+    ``pos_embedding_method`` is the reference's fourier|same|nerf|fc_relu
+    dispatch (decoder.py:128-152); unknown values raise.
     """
     relu_gain = np.sqrt(2.0)
     # NOTE: params hold ONLY arrays (optax/jit-safe); architecture facts
-    # (skip positions, color head) are inferred from weight shapes in forward.
+    # (skip positions, color head, embedding variant) are inferred from the
+    # params' keys/shapes in forward.
     params: Dict[str, Any] = {}
     keys = jax.random.split(key, 4 + 3 * n_blocks)
     ki = iter(range(len(keys)))
 
-    if pos_embedding:
+    if pos_embedding_method == "fourier":
         params["B"] = jax.random.normal(keys[next(ki)], (3, EMBEDDING_SIZE)) * FOURIER_SCALE
         emb = EMBEDDING_SIZE
-    else:
+    elif pos_embedding_method == "same":
         emb = 3
+    elif pos_embedding_method == "nerf":
+        params["nerf_freqs"] = _nerf_freq_bands(name)
+        emb = 3 + 6 * params["nerf_freqs"].shape[0]
+    elif pos_embedding_method == "fc_relu":
+        # the reference embedder is a DenseLayer (plain Linear, relu-gain
+        # xavier init; no activation applied in forward)
+        params["emb_w"] = _xavier_uniform(keys[next(ki)], (3, EMBEDDING_SIZE), relu_gain)
+        params["emb_b"] = jnp.zeros((EMBEDDING_SIZE,))
+        emb = EMBEDDING_SIZE
+    else:
+        raise ValueError(
+            f"unknown pos_embedding_method {pos_embedding_method!r}; "
+            f"expected one of {POS_EMBEDDING_METHODS}"
+        )
 
     feat_dim = c_dim * (2 if concat_feature else 1)
     lin_w, lin_b = [], []
@@ -159,23 +193,32 @@ def init_nice_decoders(
     c_dim: int = 32,
     hidden_size: int = 32,
     coarse: bool = False,
+    pos_embedding_method: str = "fourier",
 ) -> Dict[str, Any]:
     """The NICE decoder family (reference NICE.__init__, decoder.py:293-310)."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
+    pe = pos_embedding_method
     dec = {
-        "middle": _init_mlp(k1, c_dim, hidden_size, 5, (2,), False, False),
-        "fine": _init_mlp(k2, c_dim, hidden_size, 5, (2,), False, True),
-        "color": _init_mlp(k3, c_dim, hidden_size, 5, (2,), True, False),
+        "middle": _init_mlp(k1, c_dim, hidden_size, 5, (2,), False, False,
+                            pos_embedding_method=pe, name="middle"),
+        "fine": _init_mlp(k2, c_dim, hidden_size, 5, (2,), False, True,
+                          pos_embedding_method=pe, name="fine"),
+        "color": _init_mlp(k3, c_dim, hidden_size, 5, (2,), True, False,
+                           pos_embedding_method=pe, name="color"),
     }
     if coarse:
         dec["coarse"] = _init_mlp_no_xyz(k4, c_dim, hidden_size, 5, (2,), False)
     return dec
 
 
-def init_imap_decoder(key: jax.Array) -> Dict[str, Any]:
+def init_imap_decoder(
+    key: jax.Array, pos_embedding_method: str = "fourier"
+) -> Dict[str, Any]:
     """iMAP*: single MLP, c_dim=0, hidden 256, 4 blocks, no skips, color
     (reference src/conv_onet/config.py:28-32)."""
-    return {"imap": _init_mlp(key, 0, 256, 4, (), True, False)}
+    return {"imap": _init_mlp(key, 0, 256, 4, (), True, False,
+                              pos_embedding_method=pos_embedding_method,
+                              name="imap")}
 
 
 # ---------------------------------------------------------------------------
@@ -200,12 +243,22 @@ def _mlp_forward(
         # bf16 in the backward pass too
         mm = _bf16_matmul
     if "B" in params:
-        # the Fourier embedding matmul stays f32: sin() is evaluated at
+        # fourier: the embedding matmul stays f32: sin() is evaluated at
         # arguments of O(+-50), where bf16's absolute error is O(0.25) and
         # would randomize the phase
         emb = jnp.sin(p @ params["B"])
+    elif "nerf_freqs" in params:
+        # nerf: [x, sin(x f1), cos(x f1), sin(x f2), ...] (decoder.py:49-66)
+        xf = p[..., None, :] * params["nerf_freqs"][:, None]  # [N, F, 3]
+        n = p.shape[0]
+        sc = jnp.stack([jnp.sin(xf), jnp.cos(xf)], axis=-2)  # [N, F, 2, 3]
+        emb = jnp.concatenate([p, sc.reshape(n, -1)], axis=-1)
+    elif "emb_w" in params:
+        # fc_relu: a plain Linear embedder (init gain is relu's, but no
+        # activation is applied — reference decoder.py:149-151)
+        emb = p @ params["emb_w"] + params["emb_b"]
     else:
-        emb = p
+        emb = p  # 'same'
     emb_dim = emb.shape[-1]
     h = emb
     n_blocks = len(params["lin_w"])

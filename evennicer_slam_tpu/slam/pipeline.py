@@ -92,7 +92,10 @@ class EvenNICERSLAM:
                 self.coarse, cfg["model"]["coarse_bound_enlarge"],
             )
             self.decoders = init_nice_decoders(
-                k_dec, c_dim=cfg["model"]["c_dim"], coarse=self.coarse
+                k_dec, c_dim=cfg["model"]["c_dim"], coarse=self.coarse,
+                pos_embedding_method=cfg["model"].get(
+                    "pos_embedding_method", "fourier"
+                ),
             )
             pre = cfg.get("pretrained_decoders", {})
             mf = pre.get("middle_fine")
@@ -103,7 +106,12 @@ class EvenNICERSLAM:
                 )
         else:
             self.grids = {}
-            self.decoders = init_imap_decoder(k_dec)
+            self.decoders = init_imap_decoder(
+                k_dec,
+                pos_embedding_method=cfg["model"].get(
+                    "pos_embedding_method", "fourier"
+                ),
+            )
 
         # dataset + event mode (frames prefetched on a worker thread)
         from evennicer_slam_tpu.data.prefetch import PrefetchingReader
@@ -410,14 +418,17 @@ class EvenNICERSLAM:
         end_frame: Optional[int] = None,
         mesh: bool = True,
         checkpoint: bool = True,
+        start_frame: int = 0,
     ):
         """Full run over the sequence (reference EvenNICER_SLAM.run +
-        the per-process run loops)."""
+        the per-process run loops). ``start_frame > 0`` resumes mid-sequence
+        (after CheckpointLogger.restore) with the same mesh/ckpt cadence and
+        final-mesh artifacts as an uninterrupted run."""
         n = self.n_img if end_frame is None else min(end_frame, self.n_img)
         mesh_freq = self.cfg["mapping"].get("mesh_freq", 50)
         ckpt_freq = self.cfg["mapping"].get("ckpt_freq", 500)
 
-        for idx in range(n):
+        for idx in range(start_frame, n):
             mapped = self.step(idx)
             if self.verbose:
                 print(f"[enslam] frame {idx}/{n} "

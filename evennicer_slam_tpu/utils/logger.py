@@ -84,7 +84,17 @@ class CheckpointLogger:
     @staticmethod
     def restore(slam, path: str) -> int:
         """Load a checkpoint into a live pipeline; returns the frame index to
-        resume from (the checkpoint's idx + 1)."""
+        resume from (the checkpoint's idx + 1).
+
+        Checkpoints are written right after a mapped frame (``run()``'s ckpt
+        cadence), i.e. at an ``every_frame`` window boundary — so the
+        tracker/mapper transient state at that point is fully determined by
+        the checkpointed frame and is reconstructed here: ``pre_gt_color`` is
+        frame ``idx``'s color (set by ``Tracker.end_of_window``), the event
+        integral has just been reset, and the mapper's previous-color buffer
+        is frame ``idx``'s color (set by ``_map_frame``)."""
+        import jax.numpy as jnp
+
         data = dict(np.load(path, allow_pickle=False))
         slam.grids = _unflatten_into(slam.grids, "grids", data)
         slam.decoders = _unflatten_into(slam.decoders, "decoders", data)
@@ -96,6 +106,15 @@ class CheckpointLogger:
             with open(kf_path, "rb") as f:
                 kf = pickle.load(f)
             slam.mapper.keyframes.frames = kf["keyframes"]
+            slam.mapper.selected_keyframes = kf.get("selected_keyframes") or []
+            if slam.coarse_mapper is not None:
+                slam.coarse_mapper.keyframes = slam.mapper.keyframes
         slam.idx = idx
         slam.mapping_idx = idx
+
+        frame = slam.frame_reader[idx]
+        slam.tracker.pre_gt_color = jnp.asarray(frame.color)
+        if slam.use_events:
+            slam.tracker.reset_event_integration(frame.event.shape)
+        slam.pre_gt_color_mapper = frame.color
         return idx + 1

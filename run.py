@@ -50,13 +50,10 @@ def main():
             start = CheckpointLogger.restore(slam, ckpt)
             print(f"Resumed from {ckpt} at frame {start}")
 
-    if start:
-        n = slam.n_img if args.end_frame is None else min(args.end_frame, slam.n_img)
-        for idx in range(start, n):
-            slam.step(idx)
-        slam.logger.log(slam, n - 1)
-    else:
-        slam.run(end_frame=args.end_frame)
+    # Resumed runs go through run() too, so the mesh/ckpt cadence and the
+    # final final_mesh.ply / final_mesh_eval_rec.ply artifacts are identical
+    # to an uninterrupted run (reference src/Mapper.py:858-876).
+    slam.run(end_frame=args.end_frame, start_frame=start)
 
 
 if __name__ == "__main__":

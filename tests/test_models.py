@@ -170,3 +170,69 @@ class TestGrids:
         )
         assert abs(float(jnp.std(grids["middle"])) - 0.01) < 2e-3
         assert abs(float(jnp.std(grids["fine"])) - 0.0001) < 2e-5
+
+
+class TestPosEmbeddingVariants:
+    """pos_embedding_method = fourier|same|nerf|fc_relu
+    (reference decoder.py:128-152); unknown values must raise."""
+
+    def _fwd(self, method, name="middle"):
+        from evennicer_slam_tpu.models.decoders import _init_mlp
+
+        params = _init_mlp(jax.random.PRNGKey(0), 0, 32, 5, (2,), False, False,
+                           pos_embedding_method=method, name=name)
+        p = jax.random.uniform(jax.random.PRNGKey(1), (17, 3), minval=-1, maxval=1)
+        return params, p, _mlp_forward(params, p, None)
+
+    def test_all_variants_run(self):
+        for method in ("fourier", "same", "nerf", "fc_relu"):
+            _, _, out = self._fwd(method)
+            assert out.shape == (17,) and np.isfinite(np.asarray(out)).all()
+
+    def test_unknown_method_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="pos_embedding_method"):
+            self._fwd("bogus")
+
+    def test_nerf_embedding_matches_reference_formula(self):
+        """[x, sin(x f), cos(x f)] per freq; color uses 10 log-sampled bands,
+        others 5 linear bands (decoder.py:49-66,137-147)."""
+        from evennicer_slam_tpu.models.decoders import _init_mlp
+
+        for name, multires, log in (("middle", 5, False), ("color", 10, True)):
+            params = _init_mlp(jax.random.PRNGKey(0), 0, 32, 5, (2,), False,
+                               False, pos_embedding_method="nerf", name=name)
+            freqs = np.asarray(params["nerf_freqs"])
+            assert freqs.shape == (multires,)
+            if log:
+                expect = 2.0 ** np.linspace(0.0, multires - 1, multires)
+            else:
+                expect = np.linspace(1.0, 2.0 ** (multires - 1), multires)
+            np.testing.assert_allclose(freqs, expect, rtol=1e-6)
+            # first layer consumes 3 + 6*multires inputs
+            assert params["lin_w"][0].shape[0] == 3 + 6 * multires
+
+            # golden: torch evaluation of the same formula
+            x = torch.from_numpy(
+                np.random.default_rng(0).uniform(-1, 1, (7, 3)).astype(np.float32)
+            )
+            outs = [x]
+            for f in expect:
+                outs += [torch.sin(x * f), torch.cos(x * f)]
+            golden = torch.cat(outs, -1).numpy()
+
+            xj = jnp.asarray(x.numpy())
+            xf = xj[..., None, :] * params["nerf_freqs"][:, None]
+            sc = jnp.stack([jnp.sin(xf), jnp.cos(xf)], axis=-2)
+            ours = np.asarray(
+                jnp.concatenate([xj, sc.reshape(7, -1)], axis=-1)
+            )
+            np.testing.assert_allclose(ours, golden, atol=1e-6)
+
+    def test_fc_relu_is_linear_embedding(self):
+        params, p, out = self._fwd("fc_relu")
+        assert params["emb_w"].shape == (3, 93)
+        # embedder output can be negative (no relu applied, decoder.py:149-151)
+        emb = np.asarray(p @ params["emb_w"] + params["emb_b"])
+        assert (emb < 0).any()

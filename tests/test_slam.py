@@ -110,9 +110,18 @@ class TestPipeline:
         np.testing.assert_allclose(
             slam2.estimate_c2w_list[:3], slam.estimate_c2w_list[:3], atol=1e-7
         )
-        # resumed run continues
-        slam2.step(3)
+        # transient tracker/mapper state is reconstructed from the ckpt frame
+        assert slam2.tracker.pre_gt_color is not None
+        assert slam2.pre_gt_color_mapper is not None
+        assert slam2.mapper.keyframes.indices == slam.mapper.keyframes.indices
+
+        # resumed run goes through run() and produces the SAME artifact set
+        # as an uninterrupted run: final mesh + final checkpoint
+        slam2.run(start_frame=start, mesh=True, checkpoint=True)
         assert np.isfinite(slam2.estimate_c2w_list[3]).all()
+        assert os.path.exists(os.path.join(slam2.output, "mesh", "final_mesh.ply"))
+        last_ckpt = CheckpointLogger.latest(os.path.join(slam2.output, "ckpts"))
+        assert last_ckpt and last_ckpt.endswith(f"{slam2.n_img - 1:05d}.npz")
 
     def test_mesh_output(self, tmp_path):
         cfg = tiny_cfg(tmp_path, n_frames=3)
