@@ -159,3 +159,66 @@ class TestEventNetTraining:
         a = np.asarray(params["inc"]["w1"])
         b = np.asarray(back["inc"]["w1"])
         np.testing.assert_allclose(a, b, atol=0)
+
+
+class TestFullForwardParityVsReference:
+    """Whole UNet_2heads forward parity against the actual reference torch
+    module (/root/reference/event_net/unet_model.py:72-123, imported as the
+    golden — bilinear align_corners=True upsampling, pad-to-skip, skip-concat
+    order, both heads, sigmoid mask) to 1e-4."""
+
+    def _nets(self, tmp_path, rng):
+        import sys
+
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from event_net.unet_model import UNet_2heads
+
+        net = UNet_2heads(6, 2, 2).eval()
+        # randomized weights AND BatchNorm running stats (not the trivial
+        # mean=0/var=1 defaults) so the normalization path is exercised;
+        # conv weights are He-scaled so activations stay O(1) through the
+        # 18-conv net — make_torch_state's 0.1-std weights amplify ~10x per
+        # layer and would drown the 1e-4 comparison in f32 reduction noise
+        state = make_torch_state(rng)
+        for k, v in state.items():
+            if v.ndim == 4:
+                fan_in = v.shape[1] * v.shape[2] * v.shape[3]
+                state[k] = torch.from_numpy(
+                    rng.normal(size=tuple(v.shape), scale=np.sqrt(2.0 / fan_in))
+                    .astype(np.float32)
+                )
+        net.load_state_dict(state)
+        path = str(tmp_path / "ref_eventnet.pth")
+        torch.save(net.state_dict(), path)
+        return net, load_eventnet_torch(path)
+
+    def test_full_forward_matches(self, tmp_path, rng):
+        net, params = self._nets(tmp_path, rng)
+        # odd spatial size stresses the pad-to-skip alignment after each
+        # bilinear upsample (unet_parts.py:56-67)
+        x = rng.uniform(size=(1, 45, 30, 6)).astype(np.float32)
+        with torch.no_grad():
+            ev_t, mask_t = net(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+        ev_j, mask_j = eventnet_forward(params, jnp.asarray(x))
+        np.testing.assert_allclose(
+            np.asarray(ev_j), ev_t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(mask_j), mask_t.numpy().transpose(0, 2, 3, 1),
+            rtol=1e-4, atol=1e-4,
+        )
+
+    def test_inference_event_matches(self, tmp_path, rng):
+        """events x mask-prob inference parity (reference
+        src/event_net.py:89-99 slices channel 1 of the sigmoid mask)."""
+        net, params = self._nets(tmp_path, rng)
+        img1 = rng.uniform(size=(32, 48, 3)).astype(np.float32)
+        img2 = rng.uniform(size=(32, 48, 3)).astype(np.float32)
+        with torch.no_grad():
+            pair = np.concatenate([img1, img2], -1).transpose(2, 0, 1)[None]
+            ev_t, mask_t = net(torch.from_numpy(pair))
+            golden = (ev_t * mask_t[:, 1:2]).numpy()[0].transpose(1, 2, 0)
+        pred, _ = inference_event(params, jnp.asarray(img1), jnp.asarray(img2))
+        np.testing.assert_allclose(np.asarray(pred), golden, rtol=1e-4, atol=1e-4)
