@@ -1,24 +1,78 @@
-"""Background frame prefetcher.
+"""Background frame prefetcher with ahead-of-time device upload.
 
-The SLAM loop consumes frames strictly sequentially; decoding a 680x1200
-color+depth+event PNG triple costs ~0.2-0.5 s of host time that would
-otherwise serialize with TPU compute. This wrapper decodes frame ``i+1`` on a
-worker thread while frame ``i`` is being tracked (cv2 releases the GIL during
-imdecode). Random access falls through to the underlying reader.
+The SLAM loop consumes frames strictly sequentially. Two per-frame host costs
+would otherwise serialize with TPU compute:
+
+- decoding a 680x1200 color+depth+event PNG triple (~0.2-0.5 s of cv2 time),
+- shipping ~6-8 MB of frame data over the host<->device link (which, on a
+  remote-attached TPU, moves at only tens of MB/s with ~30 ms latency).
+
+This wrapper does BOTH on a worker thread while frame ``i`` is being tracked:
+decode frame ``i+1``, compact it (color/event as uint8 when that is exact —
+they originated as 8-bit images), and ``jax.device_put`` the compact arrays.
+The main thread then only enqueues a tiny expansion jit. cv2 releases the GIL
+during imdecode and device_put releases it during the copy, so the overlap is
+real. Random access falls through to the underlying reader.
 """
 
 from __future__ import annotations
 
 import threading
-from typing import Optional
+from typing import Optional, Tuple
+
+
+def _compact(frame):
+    """(color_u8|color_f32, depth_f32, event_u8|event_f32, exact) on host."""
+    import numpy as np
+
+    color_u8 = np.rint(frame.color * 255.0).astype(np.uint8)
+    color_exact = (
+        np.abs(color_u8.astype(np.float32) / 255.0 - frame.color).max() < 1e-6
+    )
+    event_u8 = np.rint(frame.event).astype(np.uint8)
+    event_exact = np.abs(event_u8.astype(np.float32) - frame.event).max() < 1e-6
+    if color_exact and event_exact:
+        return color_u8, frame.depth, event_u8, True
+    return frame.color, frame.depth, frame.event, False
+
+
+def _upload(frame) -> Tuple:
+    """Device-put the compact frame arrays (worker thread)."""
+    import jax
+
+    color, depth, event, exact = _compact(frame)
+    return (
+        jax.device_put(color),
+        jax.device_put(depth),
+        jax.device_put(event),
+        exact,
+    )
+
+
+def expand_device_frame(dev) -> Tuple:
+    """Main-thread expansion of a compact device frame -> f32 triple."""
+    import jax
+    import jax.numpy as jnp
+
+    color, depth, event, exact = dev
+    if not exact:
+        return color, depth, event
+
+    @jax.jit
+    def _expand(color_u8, event_u8):
+        return color_u8.astype(jnp.float32) / 255.0, event_u8.astype(jnp.float32)
+
+    color_f, event_f = _expand(color, event)
+    return color_f, depth, event_f
 
 
 class PrefetchingReader:
-    def __init__(self, reader, ahead: int = 1):
+    def __init__(self, reader, ahead: int = 1, upload: bool = True):
         self._reader = reader
         self._lock = threading.Lock()
         self._cache = {}
         self._thread: Optional[threading.Thread] = None
+        self._upload = upload
         self.has_events = getattr(reader, "has_events", False)
 
     def __len__(self):
@@ -30,23 +84,35 @@ class PrefetchingReader:
     def _prefetch(self, idx: int):
         try:
             frame = self._reader[idx]
+            dev = _upload(frame) if self._upload else None
         except Exception:
             return
         with self._lock:
-            self._cache = {idx: frame}
+            self._cache = {idx: (frame, dev)}
 
-    def __getitem__(self, idx: int):
+    def _fetch(self, idx: int):
         if self._thread is not None:
             self._thread.join()
             self._thread = None
         with self._lock:
-            frame = self._cache.pop(idx, None)
-        if frame is None:
+            entry = self._cache.pop(idx, None)
+        if entry is None:
             frame = self._reader[idx]
+            entry = (frame, _upload(frame) if self._upload else None)
         nxt = idx + 1
         if nxt < len(self._reader):
             self._thread = threading.Thread(
                 target=self._prefetch, args=(nxt,), daemon=True
             )
             self._thread.start()
-        return frame
+        return entry
+
+    def __getitem__(self, idx: int):
+        return self._fetch(idx)[0]
+
+    def get_with_device(self, idx: int):
+        """(host Frame, (color, depth, event) device f32 triple)."""
+        frame, dev = self._fetch(idx)
+        if dev is None:
+            dev = _upload(frame)
+        return frame, expand_device_frame(dev)

@@ -31,6 +31,21 @@ EMBEDDING_SIZE = 93
 FOURIER_SCALE = 25.0
 
 
+def pallas_decode_enabled() -> bool:
+    """Opt-in (ENSLAM_PALLAS=1). Measured on a v5e chip the Pallas fused
+    decode wins slightly on the forward (19 ms vs ~21 ms per tracking
+    iteration at 880k points) but loses on the backward (its in-VMEM
+    recompute re-pays the fourier sin/cos, ~30 ms vs ~23 ms for XLA's
+    saved-activation backward), so the XLA packed path stays the default.
+    The honest accounting: at this model width the decode is near its
+    single-chip floor (~45 ms/iter fwd+bwd); the throughput lever is data-
+    parallel ray sharding across chips (parallel/sharding.py), not further
+    kernel fusion."""
+    import os
+
+    return os.environ.get("ENSLAM_PALLAS", "") not in ("", "0", "false")
+
+
 @jax.custom_vjp
 def _bf16_matmul(a, b):
     """Matmul in bf16 with f32 accumulation in BOTH passes. JAX's derived
@@ -381,12 +396,28 @@ def nice_forward_packed(
 ) -> jnp.ndarray:
     """Color-stage decode against packed-corner grids: 2 gathers total
     (middle; fine+color) instead of 24 corner gathers. Gradients flow to the
-    query points (pose tracking); the packed grids are data, not parameters."""
+    query points (pose tracking); the packed grids are data, not parameters.
+
+    On TPU the corner reduction + all three MLPs run as one Pallas kernel
+    (ops/fused_decode.py) so activations never round-trip through HBM; on CPU
+    (and for non-fourier embeddings) the same math runs as XLA ops."""
     from evennicer_slam_tpu.ops.grid_sample import sample_packed_trilinear
 
     if "fc_packed" not in grids:
         grids = pack_grids_for_tracking(grids)
     p_nor = normalize_3d_coordinate(p, bound)
+
+    from evennicer_slam_tpu.ops import fused_decode
+
+    if fused_decode.supports(decoders) and pallas_decode_enabled():
+        from evennicer_slam_tpu.ops.grid_sample import packed_rows_and_frac
+
+        rows_m, frac_m = packed_rows_and_frac(grids["middle_packed"], p_nor)
+        rows_f, frac_f = packed_rows_and_frac(grids["fc_packed"], p_nor)
+        c_dim = grids["middle_packed"].shape[-1] // 8
+        return fused_decode.fused_decode_packed(
+            decoders, p, frac_m, frac_f, rows_m, rows_f, c_dim=c_dim
+        )
     middle_feat = sample_packed_trilinear(grids["middle_packed"], p_nor)
     fc_feat = sample_packed_trilinear(grids["fc_packed"], p_nor)
     c = middle_feat.shape[-1]

@@ -108,6 +108,28 @@ def pack_corner_grid(grid: jnp.ndarray, dtype=jnp.bfloat16) -> jnp.ndarray:
     return jnp.concatenate(parts, axis=-1).astype(dtype)
 
 
+def packed_rows_and_frac(packed: jnp.ndarray, p_nor: jnp.ndarray):
+    """Gather packed-corner rows + trilinear fractions for N points.
+
+    Returns (rows [N, 8C] in the packed dtype, frac [N, 3] f32, (x, y, z)
+    order). ``frac`` carries the coordinate gradient (zero where the
+    continuous coordinate is clamped at the border, matching
+    ``F.grid_sample(padding_mode='border')``); the rows are data. Feeds the
+    fused Pallas decode (ops/fused_decode.py)."""
+    Z, Y, X, C8 = packed.shape
+    ux = jnp.clip((p_nor[..., 0] + 1.0) * 0.5 * (X - 1), 0.0, X - 1)
+    uy = jnp.clip((p_nor[..., 1] + 1.0) * 0.5 * (Y - 1), 0.0, Y - 1)
+    uz = jnp.clip((p_nor[..., 2] + 1.0) * 0.5 * (Z - 1), 0.0, Z - 1)
+    x0 = jnp.floor(jax.lax.stop_gradient(ux)).astype(jnp.int32)
+    y0 = jnp.floor(jax.lax.stop_gradient(uy)).astype(jnp.int32)
+    z0 = jnp.floor(jax.lax.stop_gradient(uz)).astype(jnp.int32)
+    frac = jnp.stack([ux - x0, uy - y0, uz - z0], axis=-1)
+    rows = jax.lax.stop_gradient(
+        packed.reshape(-1, C8)[(z0 * Y + y0) * X + x0]
+    )
+    return rows, frac
+
+
 def sample_packed_trilinear(packed: jnp.ndarray, p_nor: jnp.ndarray) -> jnp.ndarray:
     """Trilinear sample from a packed-corner grid. Returns [N, C] float32.
 

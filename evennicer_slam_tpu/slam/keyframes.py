@@ -33,7 +33,8 @@ class KeyframeStore:
     def indices(self) -> List[int]:
         return [f["idx"] for f in self.frames]
 
-    def append(self, idx: int, color, depth, event, est_c2w, gt_c2w):
+    def append(self, idx: int, color, depth, event, est_c2w, gt_c2w,
+               device_images=None):
         self.frames.append(
             {
                 "idx": idx,
@@ -44,6 +45,10 @@ class KeyframeStore:
                 "gt_c2w": np.asarray(gt_c2w).copy(),
             }
         )
+        if device_images is not None:
+            # the frame is already on device (pipeline upload) — seed the
+            # cache instead of re-shipping ~10 MB on the next mapping call
+            self._device_cache[len(self.frames) - 1] = tuple(device_images)
 
     def set_pose(self, kf_index: int, est_c2w: np.ndarray):
         self.frames[kf_index]["est_c2w"] = np.asarray(est_c2w).copy()

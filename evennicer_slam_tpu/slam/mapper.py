@@ -614,7 +614,9 @@ class Mapper:
             use_events,
             color_refine,
         )
-        self.last_loss = float(loss)
+        # device scalar on purpose: float() would stall the host on the whole
+        # mapping program; the pipeline fetches it in deferred metric batches
+        self.last_loss = loss
 
         new_cur_c2w = None
         if ba:
@@ -632,14 +634,16 @@ class Mapper:
         return new_grids, new_decoders, new_cur_c2w
 
     def maybe_add_keyframe(
-        self, idx, n_img, gt_color, gt_depth, gt_event, cur_c2w, gt_c2w
+        self, idx, n_img, gt_color, gt_depth, gt_event, cur_c2w, gt_c2w,
+        device_images=None,
     ):
         """Append every keyframe_every frames or at the second-to-last frame
         (reference src/Mapper.py:830-835)."""
         if (
             idx % self.cfg.keyframe_every == 0 or idx == n_img - 2
         ) and idx not in self.keyframes.indices:
-            self.keyframes.append(idx, gt_color, gt_depth, gt_event, cur_c2w, gt_c2w)
+            self.keyframes.append(idx, gt_color, gt_depth, gt_event, cur_c2w,
+                                  gt_c2w, device_images=device_images)
 
     def update_ba_state(self):
         self.BA_active = (

@@ -9,8 +9,20 @@ src/Tracker.py:281-295, src/Mapper.py:743-757). Under the default
 then track k, and map whenever ``k % every_frame == 0`` before tracking k+1.
 This pipeline executes that schedule directly in one process — same
 semantics, zero IPC — with map state handed to the tracker functionally
-(the snapshot protocol becomes plain data flow). ``loose``/``free`` collapse
-to the same schedule in a single process and are accepted as config values.
+(the snapshot protocol becomes plain data flow).
+
+Concurrency model. What the reference's extra processes actually bought was
+hiding host-side Python/IO time behind GPU compute. Here the same overlap
+comes from JAX's asynchronous dispatch: every per-frame quantity (tracked
+pose, losses, event integrals) stays on device, frames are decoded AND
+uploaded one frame ahead on a worker thread (data/prefetch.py), and metrics
+are fetched in deferred batches — so the host's steady-state loop only
+enqueues work and never blocks on the device. The tracker always consumes the
+newest mapped grids by data flow, which is exactly the reference's ``strict``
+consistency; ``loose``/``free`` (bounded/unbounded tracking lag,
+src/Tracker.py:281-295) are accepted and shape only how far the host may run
+ahead of the device queue — they cannot change results here because a single
+device executes the queue in order.
 """
 
 from __future__ import annotations
@@ -47,15 +59,6 @@ def load_scene_bound(cfg) -> np.ndarray:
         ((bound[:, 1] - bound[:, 0]) / bd).astype(int) + 1
     ) * bd + bound[:, 0]
     return bound.astype(np.float32)
-
-
-@jax.jit
-def _expand_frame_jit(color_u8, depth_f32, event_u8):
-    return (
-        color_u8.astype(jnp.float32) / 255.0,
-        depth_f32,
-        event_u8.astype(jnp.float32),
-    )
 
 
 class EvenNICERSLAM:
@@ -165,13 +168,19 @@ class EvenNICERSLAM:
         )
         self.t_cfg, self.m_cfg = t_cfg, m_cfg
 
-        self.estimate_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
+        # pose bookkeeping: recent tracked poses live on device; the numpy
+        # view materializes them in one batched fetch on access
+        self._est_np = np.zeros((self.n_img, 4, 4), np.float32)
+        self._est_dev: Dict[int, jnp.ndarray] = {}
         self.gt_c2w_list = np.zeros((self.n_img, 4, 4), np.float32)
         self.idx = 0
         self.mapping_idx = -1
         self.mapping_cnt = 0
         self.pre_gt_color_mapper = None
         self.timings: Dict[str, float] = {"track": 0.0, "map": 0.0, "frames": 0}
+        # deferred per-frame metrics: (host part, device part) tuples flushed
+        # in batches so the slow host link is hit once, not per record
+        self._metric_queue: list = []
 
         from evennicer_slam_tpu.utils.telemetry import MetricsLogger, PhaseTimers
 
@@ -186,6 +195,65 @@ class EvenNICERSLAM:
         self._visualizer = None
         self._tracking_vis = None
         self._mapping_vis = None
+
+    # ------------------------------------------------------------------
+    # pose list: device-backed with lazy batched materialization
+
+    @property
+    def estimate_c2w_list(self) -> np.ndarray:
+        """Estimated trajectory [n_img, 4, 4]. Accessing this syncs any
+        device-resident poses into the numpy array (one batched fetch)."""
+        if self._est_dev:
+            idxs = list(self._est_dev.keys())
+            mats = jax.device_get([self._est_dev[i] for i in idxs])
+            for i, m in zip(idxs, mats):
+                self._est_np[i] = m
+            self._est_dev.clear()
+        return self._est_np
+
+    @estimate_c2w_list.setter
+    def estimate_c2w_list(self, value):
+        self._est_np = np.asarray(value, np.float32)
+        self._est_dev.clear()
+
+    def _set_pose(self, idx: int, c2w):
+        if isinstance(c2w, jnp.ndarray):
+            self._est_dev[idx] = c2w
+        else:
+            self._est_np[idx] = np.asarray(c2w, np.float32)
+            self._est_dev.pop(idx, None)
+
+    def _pose(self, idx: int):
+        """Pose as whatever it currently is (device array if still pending)."""
+        return self._est_dev.get(idx, self._est_np[idx])
+
+    def _pose_np(self, idx: int) -> np.ndarray:
+        p = self._est_dev.pop(idx, None)
+        if p is not None:
+            self._est_np[idx] = np.asarray(p)
+        return self._est_np[idx]
+
+    # ------------------------------------------------------------------
+    # deferred metrics
+
+    def _flush_metrics(self, force: bool = False, batch: int = 16):
+        if not self._metric_queue:
+            return
+        if not force and len(self._metric_queue) < batch:
+            return
+        pending = self._metric_queue
+        self._metric_queue = []
+        host_parts = [h for h, _ in pending]
+        dev_parts = jax.device_get([d for _, d in pending])
+        for rec, dev in zip(host_parts, dev_parts):
+            for k, v in dev.items():
+                v = np.asarray(v)
+                if v.ndim == 0:
+                    rec[k] = float(v)
+                else:
+                    rec[f"{k}_first"] = float(v[0])
+                    rec[f"{k}_last"] = float(v[-1])
+            self.metrics.log(rec)
 
     # ------------------------------------------------------------------
     @property
@@ -254,7 +322,9 @@ class EvenNICERSLAM:
         cfg = self.cfg
         m = self.m_cfg
         gt_event_int = self._integrated_event(idx) if self.use_events else frame.event
-        cur_c2w = self.estimate_c2w_list[idx].copy()
+        # ONE pose fetch per mapping call (window selection + frustum masks
+        # are host-side); this also naturally paces the host to the device.
+        cur_c2w = self._pose_np(idx).copy()
 
         if init:
             outer, num_iters, lr_factor = 1, m.iters_first, m.lr_first_factor
@@ -293,14 +363,14 @@ class EvenNICERSLAM:
                 self.decoders = decoders
                 if new_c2w is not None:
                     cur_c2w = new_c2w
-                    self.estimate_c2w_list[idx] = new_c2w
+                    self._set_pose(idx, new_c2w)
             if window_boost != 1:
                 mapper.cfg = mapper.cfg._replace(window_size=old_ws)
 
             if not mapper.coarse_mapper:
                 mapper.maybe_add_keyframe(
                     idx, self.n_img, frame.color, frame.depth, frame.event,
-                    cur_c2w, frame.c2w,
+                    cur_c2w, frame.c2w, device_images=images_dev,
                 )
                 if self.coarse_mapper is not None:
                     # coarse mapper shares the keyframe registry
@@ -308,7 +378,9 @@ class EvenNICERSLAM:
 
         self.mapping_idx = idx
         self.mapping_cnt += 1
-        self.pre_gt_color_mapper = frame.color
+        self.pre_gt_color_mapper = (
+            images_dev[0] if images_dev is not None else frame.color
+        )
 
     def _predict_event_for_vis(self, idx: int, gt_depth):
         """Low-res GT event integral + EventNet prediction for the visual
@@ -322,39 +394,22 @@ class EvenNICERSLAM:
         prev_lo = resize_bilinear(tr.pre_gt_color, lo)
         _, _, cur_lo = self.renderer.render_img_rescale(
             self.decoders, self.grids,
-            jnp.asarray(self.estimate_c2w_list[idx][:3]), "color",
+            jnp.asarray(self._pose_np(idx)[:3]), "color",
             gt_depth=gt_depth, scale_factor=self.t_cfg.scale_factor,
         )
         pred, _ = inference_event(self.eventnet, prev_lo, cur_lo)
         return np.asarray(gt_ev_lo), np.asarray(pred)
 
-    def _upload_frame(self, frame):
-        """Host->device frame upload. The relay link makes f32 transfers the
-        dominant per-frame host cost (~200 ms at 680x1200), so color/event are
-        shipped as uint8 WHEN that is exact (they originated as 8-bit images)
-        and expanded on device; depth stays f32."""
-        color_u8 = np.rint(frame.color * 255.0).astype(np.uint8)
-        color_exact = np.abs(color_u8.astype(np.float32) / 255.0 - frame.color).max() < 1e-6
-        event_u8 = np.rint(frame.event).astype(np.uint8)
-        event_exact = np.abs(event_u8.astype(np.float32) - frame.event).max() < 1e-6
-        if color_exact and event_exact:
-            return _expand_frame_jit(
-                jnp.asarray(color_u8), jnp.asarray(frame.depth), jnp.asarray(event_u8)
-            )
-        return (
-            jnp.asarray(frame.color),
-            jnp.asarray(frame.depth),
-            jnp.asarray(frame.event),
-        )
-
     def step(self, idx: int):
-        """Process frame ``idx`` through the strict schedule."""
-        frame = self.frame_reader[idx]
+        """Process frame ``idx`` through the strict schedule. Fully
+        asynchronous: on the steady-state path this only enqueues device work
+        (the frame was uploaded ahead of time by the prefetch worker)."""
+        frame, dev = self.frame_reader.get_with_device(idx)
         self.gt_c2w_list[idx] = frame.c2w
-        gt_color, gt_depth, gt_event = self._upload_frame(frame)
+        gt_color, gt_depth, gt_event = dev
 
         if idx == 0 or self.t_cfg.gt_camera:
-            self.estimate_c2w_list[idx] = frame.c2w
+            self._set_pose(idx, frame.c2w)
             if idx == 0:
                 if self.use_events:
                     self.tracker.reset_event_integration(frame.event.shape)
@@ -365,25 +420,24 @@ class EvenNICERSLAM:
                 self.tracker.pre_gt_color = gt_color
         else:
             t0 = time.perf_counter()
-            pre = self.estimate_c2w_list[idx - 1]
-            prepre = self.estimate_c2w_list[idx - 2] if idx >= 2 else None
+            pre = self._pose(idx - 1)
+            prepre = self._pose(idx - 2) if idx >= 2 else None
             c2w = self.tracker.track(
                 idx, gt_color, gt_depth, gt_event, pre, prepre,
                 self.decoders, self.grids, seed=idx,
             )
-            self.estimate_c2w_list[idx] = c2w
+            self._set_pose(idx, c2w)
             self.timings["track"] += time.perf_counter() - t0
 
         self.tracker.end_of_window(idx, gt_color, self.m_cfg.every_frame)
 
-        # per-frame metrics + periodic visual diagnostics
-        rec = {"frame": idx}
-        for k, v in self.tracker.last_losses.items():
-            if len(v):
-                rec[f"tracking/{k}_first"] = float(v[0])
-                rec[f"tracking/{k}_last"] = float(v[-1])
-        rec["mapping/loss"] = float(self.mapper.last_loss)
-        self.metrics.log(rec)
+        # per-frame metrics (device parts fetched later, in batches)
+        dev_rec = {
+            f"tracking/{k}": v for k, v in self.tracker.last_losses.items()
+        }
+        dev_rec["mapping/loss"] = self.mapper.last_loss
+        self._metric_queue.append(({"frame": idx}, dev_rec))
+        self._flush_metrics()
         if idx > 0 and self.cfg.get("enable_vis", True):
             vis = self._get_vis("tracking")
             if vis.should_vis(idx, 0):
@@ -391,7 +445,7 @@ class EvenNICERSLAM:
                 if self.use_events and self.tracker.pre_gt_color is not None:
                     gt_ev_lo, pred_ev = self._predict_event_for_vis(idx, gt_depth)
                 vis.vis(idx, 0, gt_depth, gt_color,
-                        self.estimate_c2w_list[idx], self.grids, self.decoders,
+                        self._pose_np(idx), self.grids, self.decoders,
                         gt_event=gt_ev_lo, pred_event=pred_ev)
 
         mapped = False
@@ -443,6 +497,7 @@ class EvenNICERSLAM:
                 )
 
         last = n - 1
+        self._flush_metrics(force=True)
         if checkpoint:
             self.logger.log(self, last)
         if mesh:

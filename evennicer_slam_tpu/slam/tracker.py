@@ -38,8 +38,7 @@ import numpy as np
 from evennicer_slam_tpu.core.bounds import inside_bound_mask
 from evennicer_slam_tpu.core.quaternion import (
     pose_matrix_from_tensor,
-    pose_matrix_from_tensor_np,
-    tensor_from_pose_matrix_np,
+    tensor_from_pose_matrix,
 )
 from evennicer_slam_tpu.core.rays import get_rays_rescale, get_samples
 from evennicer_slam_tpu.models.eventnet import inference_event
@@ -209,12 +208,28 @@ def _tracking_loss(
     return total, aux
 
 
+def initial_pose_tensor(
+    pre_c2w: jnp.ndarray,
+    pre_pre_c2w: jnp.ndarray,
+    const_speed: bool,
+) -> jnp.ndarray:
+    """Constant-speed pose extrapolation, on device (reference
+    src/Tracker.py:316-324 did this per frame on the CPU via mathutils)."""
+    if const_speed:
+        delta = pre_c2w @ jnp.linalg.inv(pre_pre_c2w)
+        est_c2w = delta @ pre_c2w
+    else:
+        est_c2w = pre_c2w
+    return tensor_from_pose_matrix(est_c2w[:3])
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "cam", "settings", "rgbd", "event"),
+    static_argnames=("cfg", "cam", "settings", "rgbd", "event", "const_speed"),
 )
 def track_frame_jit(
-    init_cam_tensor: jnp.ndarray,
+    pre_c2w: jnp.ndarray,
+    pre_pre_c2w: jnp.ndarray,
     decoders,
     grids,
     eventnet,
@@ -230,10 +245,15 @@ def track_frame_jit(
     settings: RenderSettings,
     rgbd: bool,
     event: bool,
+    const_speed: bool,
 ):
-    """Full per-frame tracking: ``cfg.iters`` Adam steps on the pose.
+    """Full per-frame tracking: pose init by constant-speed extrapolation
+    (reference src/Tracker.py:316-324) followed by ``cfg.iters`` Adam steps —
+    all on device, so the host never has to fetch a pose mid-sequence (each
+    fetch over the remote-device link costs ~30 ms of round-trip latency).
 
-    Returns (best_cam_tensor, per-iter loss dict)."""
+    Returns (best_cam_tensor, best_c2w [4, 4], per-iter loss dict)."""
+    init_cam_tensor = initial_pose_tensor(pre_c2w, pre_pre_c2w, const_speed)
     if cfg.separate_lr:
         lr_vec = jnp.concatenate(
             [jnp.full((4,), cfg.lr * 0.2), jnp.full((3,), cfg.lr)]
@@ -290,7 +310,14 @@ def track_frame_jit(
     (final_cam, _, _, best_cam), losses = jax.lax.scan(
         step, init, jnp.arange(cfg.iters)
     )
-    return best_cam, losses
+    best_c2w = jnp.concatenate(
+        [
+            pose_matrix_from_tensor(best_cam),
+            jnp.array([[0.0, 0.0, 0.0, 1.0]], jnp.float32),
+        ],
+        axis=0,
+    )
+    return best_cam, best_c2w, losses
 
 
 @functools.partial(jax.jit, static_argnames=("lo_hw",))
@@ -325,25 +352,11 @@ class Tracker:
         self.lo_hw = (lo_h, lo_w)
         self.pre_gt_color: Optional[jnp.ndarray] = None
         self.gt_event_integrate: Optional[jnp.ndarray] = None
-        self.handoff_event_integrate: Optional[np.ndarray] = None
-        self.last_losses: Dict[str, np.ndarray] = {}
+        self.handoff_event_integrate: Optional[jnp.ndarray] = None
+        self.last_losses: Dict[str, jnp.ndarray] = {}
 
     def reset_event_integration(self, shape):
         self.gt_event_integrate = jnp.zeros(shape, jnp.float32)
-
-    def initial_pose_tensor(
-        self,
-        pre_c2w: np.ndarray,
-        pre_pre_c2w: Optional[np.ndarray],
-    ) -> jnp.ndarray:
-        """Constant-speed extrapolation (reference src/Tracker.py:316-324)."""
-        if self.cfg.const_speed and pre_pre_c2w is not None:
-            delta = pre_c2w @ np.linalg.inv(pre_pre_c2w)
-            est = delta @ pre_c2w
-        else:
-            est = pre_c2w
-        # host-side numpy: eager jax ops would pay a dispatch round trip
-        return jnp.asarray(tensor_from_pose_matrix_np(est))
 
     def track(
         self,
@@ -351,13 +364,17 @@ class Tracker:
         gt_color: jnp.ndarray,
         gt_depth: jnp.ndarray,
         gt_event: jnp.ndarray,
-        pre_c2w: np.ndarray,
-        pre_pre_c2w: Optional[np.ndarray],
+        pre_c2w,
+        pre_pre_c2w,
         decoders,
         grids,
         seed: int = 0,
-    ) -> np.ndarray:
-        """Track one frame; returns the refined 4x4 c2w (numpy)."""
+    ) -> jnp.ndarray:
+        """Track one frame; returns the refined 4x4 c2w as a DEVICE array.
+
+        The whole call is asynchronous: pose init, optimization, and best-pose
+        selection run on device; nothing here blocks on device results, so the
+        host can immediately move on to dispatching the next frame's work."""
         cfg = self.cfg
         event = cfg.use_events
         rgbd = (not event) or (idx % cfg.rgbd_every_frame == 0)
@@ -376,9 +393,15 @@ class Tracker:
             prev_color_lo = jnp.zeros((lo_h, lo_w, 3))
             gt_depth_lo_flat = jnp.zeros((lo_h * lo_w,))
 
-        init_tensor = self.initial_pose_tensor(pre_c2w, pre_pre_c2w)
-        best_cam, losses = track_frame_jit(
-            init_tensor,
+        const_speed = bool(self.cfg.const_speed and pre_pre_c2w is not None)
+        pre_c2w = jnp.asarray(pre_c2w)
+        pre_pre_c2w = (
+            jnp.asarray(pre_pre_c2w) if pre_pre_c2w is not None
+            else jnp.eye(4, dtype=jnp.float32)
+        )
+        best_cam, c2w, losses = track_frame_jit(
+            pre_c2w,
+            pre_pre_c2w,
             decoders,
             grids,
             self.eventnet,
@@ -394,18 +417,17 @@ class Tracker:
             self.settings,
             rgbd,
             event,
+            const_speed,
         )
-        self.last_losses = {k: np.asarray(v) for k, v in losses.items()}
-        c2w34 = pose_matrix_from_tensor_np(np.asarray(best_cam))
-        c2w = np.eye(4, dtype=np.float32)
-        c2w[:3] = c2w34
+        self.last_losses = losses
         return c2w
 
     def end_of_window(self, idx: int, gt_color: jnp.ndarray, every_frame: int):
         """At RGB-D boundaries, snapshot prev color + hand the event integral
-        to the mapper, then reset it (reference src/Tracker.py:462-466)."""
+        to the mapper, then reset it (reference src/Tracker.py:462-466). The
+        handoff stays a device array — it is only ever consumed on device."""
         if idx % every_frame == 0:
             self.pre_gt_color = gt_color
             if self.gt_event_integrate is not None:
-                self.handoff_event_integrate = np.asarray(self.gt_event_integrate)
+                self.handoff_event_integrate = self.gt_event_integrate
                 self.gt_event_integrate = jnp.zeros_like(self.gt_event_integrate)

@@ -1,49 +1,87 @@
-"""Fast (packed-corner, bf16) decode vs reference XLA path: forward +
-gradient parity within bf16 tolerance."""
+"""Parity of the Pallas fused decode kernel against the XLA packed path.
+
+The kernel (ops/fused_decode.py) must reproduce models.decoders'
+nice_forward_packed — the tracking decode — bit-for-bit up to the shared bf16
+matmul precision, in both the forward values and the pose-side gradients
+(d raw / d points)."""
+
+import os
+
+import numpy as np
+import pytest
+
+os.environ.setdefault("ENSLAM_PALLAS", "0")  # default path stays XLA on CPU
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from evennicer_slam_tpu.models.decoders import init_nice_decoders, nice_forward
+from evennicer_slam_tpu.models.decoders import (
+    init_nice_decoders,
+    nice_forward_packed,
+    pack_grids_for_tracking,
+)
 from evennicer_slam_tpu.models.grids import init_grids
 
-BOUND = np.array([[-1.0, 1.0], [-1.0, 1.0], [-1.0, 1.0]], np.float32)
+
+@pytest.fixture(scope="module")
+def scene():
+    bound = np.array([[-1.0, 1.0], [-0.8, 0.8], [-0.6, 0.6]], np.float32)
+    grid_len = {"coarse": 0.5, "middle": 0.25, "fine": 0.125, "color": 0.125,
+                "bound_divisible": 0.25}
+    grids = init_grids(jax.random.PRNGKey(0), bound, grid_len, c_dim=32,
+                       coarse=False)
+    # non-trivial grid content
+    grids = {k: v + 0.3 * jax.random.normal(jax.random.PRNGKey(7), v.shape)
+             for k, v in grids.items()}
+    decoders = init_nice_decoders(jax.random.PRNGKey(1), coarse=False)
+    packed = pack_grids_for_tracking(grids)
+    n = 1500  # deliberately not a TILE multiple (exercises padding)
+    p = jax.random.uniform(jax.random.PRNGKey(2), (n, 3),
+                           minval=-1.1, maxval=1.1)
+    p = p * jnp.array([1.0, 0.8, 0.6])
+    return decoders, packed, p, jnp.asarray(bound)
 
 
-def setup():
-    decoders = init_nice_decoders(jax.random.PRNGKey(0), coarse=False)
-    grids = init_grids(
-        jax.random.PRNGKey(1), BOUND,
-        {"coarse": 0.8, "middle": 0.4, "fine": 0.2, "color": 0.2},
-        c_dim=32, coarse=False,
+def _with_pallas(flag):
+    os.environ["ENSLAM_PALLAS"] = flag
+
+
+def test_forward_parity(scene):
+    decoders, packed, p, bound = scene
+    _with_pallas("0")
+    ref = np.asarray(nice_forward_packed(decoders, packed, p, bound))
+    _with_pallas("1")
+    try:
+        out = np.asarray(nice_forward_packed(decoders, packed, p, bound))
+    finally:
+        _with_pallas("0")
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=5e-3, rtol=5e-3)
+
+
+def test_pose_gradient_parity(scene):
+    decoders, packed, p, bound = scene
+
+    def loss(p, flag):
+        _with_pallas(flag)
+        try:
+            raw = nice_forward_packed(decoders, packed, p, bound)
+        finally:
+            _with_pallas("0")
+        # weight the channels asymmetrically so every output matters
+        w = jnp.array([1.0, -0.5, 0.25, 2.0])
+        return jnp.sum(raw * w)
+
+    g_ref = np.asarray(jax.grad(lambda p: loss(p, "0"))(p))
+    g_out = np.asarray(jax.grad(lambda p: loss(p, "1"))(p))
+    # The kernel's backward genuinely rounds operands to bf16 (as the XLA
+    # path does on real TPU hardware); on CPU, XLA's simplifier elides the
+    # f32->bf16->f32 convert pair, so the reference here is effectively f32.
+    # Bound the bf16 noise in aggregate instead of elementwise.
+    assert np.abs(g_ref).max() > 1e-3  # non-degenerate test
+    rel = np.linalg.norm(g_out - g_ref) / np.linalg.norm(g_ref)
+    assert rel < 0.01, f"relative gradient error {rel:.4f}"
+    cos = np.sum(g_out * g_ref) / (
+        np.linalg.norm(g_out) * np.linalg.norm(g_ref)
     )
-    p = jax.random.uniform(jax.random.PRNGKey(2), (301, 3), minval=-0.9, maxval=0.9)
-    return decoders, grids, p
-
-
-class TestFusedDecode:
-    def test_forward_parity(self):
-        decoders, grids, p = setup()
-        bound = jnp.asarray(BOUND)
-        ref = nice_forward(decoders, grids, p, bound, "color", fused=False)
-        out = nice_forward(decoders, grids, p, bound, "color", fused=True)
-        # packed path gathers/matmuls in bf16: ~1e-2 relative tolerance
-        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.05, atol=0.05)
-
-    def test_gradient_parity_points(self):
-        decoders, grids, p = setup()
-        bound = jnp.asarray(BOUND)
-
-        def loss(p, grids, fused):
-            raw = nice_forward(decoders, grids, p, bound, "color", fused=fused)
-            return jnp.sum(raw**2)
-
-        gp_ref = np.asarray(jax.grad(lambda pp: loss(pp, grids, False))(p)).ravel()
-        gp_fused = np.asarray(jax.grad(lambda pp: loss(pp, grids, True))(p)).ravel()
-        # bf16 hidden-layer matmuls add per-entry noise; what matters for the
-        # pose optimizer is the gradient DIRECTION and magnitude
-        cos = gp_ref @ gp_fused / (np.linalg.norm(gp_ref) * np.linalg.norm(gp_fused))
-        assert cos > 0.995, cos
-        ratio = np.linalg.norm(gp_fused) / np.linalg.norm(gp_ref)
-        assert 0.9 < ratio < 1.1, ratio
+    assert cos > 0.9999, f"gradient direction cosine {cos:.6f}"

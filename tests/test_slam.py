@@ -155,17 +155,14 @@ class TestTrackerUnits:
             assert abs(ours - theirs) < 1e-6
 
     def test_initial_pose_const_speed(self):
-        from evennicer_slam_tpu.render.renderer import RenderSettings
-        from evennicer_slam_tpu.slam.camera import Camera
-        from evennicer_slam_tpu.slam.tracker import Tracker, TrackerConfig
+        from evennicer_slam_tpu.slam.tracker import initial_pose_tensor
 
-        cfg = TrackerConfig(const_speed=True)
-        cam = Camera(10, 10, 5.0, 5.0, 4.5, 4.5)
-        tr = Tracker(cfg, cam, RenderSettings(), np.eye(3, 2, dtype=np.float32) + [[0], [0], [0]])
         p0 = np.eye(4, dtype=np.float32)
         p1 = np.eye(4, dtype=np.float32)
         p1[:3, 3] = [0.1, 0, 0]
-        t = np.asarray(tr.initial_pose_tensor(p1, p0))
+        t = np.asarray(
+            initial_pose_tensor(jnp.asarray(p1), jnp.asarray(p0), True)
+        )
         # extrapolated translation = 0.2 in x
         np.testing.assert_allclose(t[4:], [0.2, 0, 0], atol=1e-6)
 
