@@ -35,6 +35,43 @@ from evennicer_slam_tpu.render.renderer import RenderSettings, render_rays
 from evennicer_slam_tpu.utils.optim import adam_init, adam_update
 
 
+def pipeline_dp_sharding(cfg: Dict[str, Any]) -> Optional[NamedSharding]:
+    """Ray-batch sharding for the PRODUCTION pipeline (tracker + mapper).
+
+    ``cfg['parallel']['data_parallel']``: ``'auto'`` (default) uses every
+    local accelerator device; an int pins the dp size; 1 disables. On the CPU
+    backend 'auto' resolves to 1 so the (virtual-device) test environment
+    keeps its single-device numerics; tests opt in with an explicit int.
+
+    Returns a NamedSharding P('dp', None) over a 1-D mesh, or None when dp=1.
+    The tracker/mapper jits take this as a static argument and constrain
+    their ray batches with it — GSPMD then partitions sampling, grid
+    gathers, decoding, and compositing row-wise across chips and inserts one
+    psum for the scalar loss / pose-gradient reduction, riding ICI.
+    """
+    want = cfg.get("parallel", {}).get("data_parallel", "auto")
+    devs = jax.devices()
+    if want == "auto":
+        n = len(devs) if jax.default_backend() != "cpu" else 1
+    else:
+        n = int(want)
+    n = max(1, min(n, len(devs)))
+    if n == 1:
+        return None
+    mesh = Mesh(np.array(devs[:n]), ("dp",))
+    return NamedSharding(mesh, P("dp"))
+
+
+def constrain_dp(x: jnp.ndarray, dp: Optional[NamedSharding]):
+    """Shard array rows over the dp mesh axis (no-op when dp is None)."""
+    if dp is None:
+        return x
+    spec = P("dp", *([None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(dp.mesh, spec)
+    )
+
+
 def make_mesh(n_devices: Optional[int] = None, tp: Optional[int] = None) -> Mesh:
     """Logical (dp, tp) mesh over the first ``n_devices`` devices."""
     devs = jax.devices()

@@ -44,6 +44,7 @@ from evennicer_slam_tpu.core.quaternion import (
 from evennicer_slam_tpu.core.rays import get_rays_rescale, rays_from_uv
 from evennicer_slam_tpu.models.eventnet import inference_event
 from evennicer_slam_tpu.ops.gaussian_blur import gaussian_blur
+from evennicer_slam_tpu.parallel.sharding import constrain_dp
 from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
 from evennicer_slam_tpu.render.renderer import (
     RenderSettings,
@@ -181,12 +182,18 @@ def _map_loss(
     ba: bool,
     coarse_mapper: bool,
     pix_per_img: int,
+    dp=None,
 ):
     grids, decoders, cam_tensors = params
     c2ws = _window_c2w(cam_tensors, fixed_c2w, ba)
     rays_o, rays_d, b_depth, b_color = _sample_window_rays(
         key, c2ws, colors, depths, pix_per_img, cam
     )
+    # dp: ray rows shard across the mesh; grid/decoder grads psum over dp
+    rays_o = constrain_dp(rays_o, dp)
+    rays_d = constrain_dp(rays_d, dp)
+    b_depth = constrain_dp(b_depth, dp)
+    b_color = constrain_dp(b_color, dp)
 
     if settings.nice:
         inside = inside_bound_mask(
@@ -238,7 +245,7 @@ def _decoder_lr_tree(decoders, lrs: Dict[str, Any], cfg: MapperConfig, nice: boo
     jax.jit,
     static_argnames=(
         "cfg", "cam", "settings", "ba", "coarse_mapper", "pix_per_img",
-        "use_frustum", "stages", "use_events", "fix_color_now",
+        "use_frustum", "stages", "use_events", "fix_color_now", "dp",
     ),
 )
 def map_frame_jit(
@@ -269,6 +276,7 @@ def map_frame_jit(
     stages: Tuple[str, ...],
     use_events: bool,
     fix_color_now: bool,
+    dp=None,
 ):
     """One full mapping call: sequential per-stage loops with dynamic lengths.
 
@@ -314,7 +322,7 @@ def map_frame_jit(
 
         loss_fn = lambda p, key: _map_loss(
             p, fixed_c2w, colors, depths, bound, key, cfg_now, cam, settings,
-            stage, ba, coarse_mapper, pix_per_img,
+            stage, ba, coarse_mapper, pix_per_img, dp,
         )
         grad_fn = jax.value_and_grad(loss_fn)
 
@@ -322,7 +330,7 @@ def map_frame_jit(
             ev_fn = lambda p: _mapper_event_loss(
                 p, fixed_c2w, bound, prev_color_lo, gt_event_lo,
                 gt_depth_lo_flat, eventnet, cfg, cam, settings, ba,
-                event_balancer,
+                event_balancer, dp,
             )
             ev_grad_fn = jax.value_and_grad(ev_fn)
 
@@ -378,7 +386,7 @@ def _mask_grid_grads(grid_grads, grid_masks, coarse_mapper: bool):
 
 def _mapper_event_loss(
     params, fixed_c2w, bound, prev_color_lo, gt_event_lo, gt_depth_lo_flat,
-    eventnet, cfg, cam, settings, ba, balancer,
+    eventnet, cfg, cam, settings, ba, balancer, dp=None,
 ):
     grids, decoders, cam_tensors = params
     c2ws = _window_c2w(cam_tensors, fixed_c2w, ba)
@@ -388,8 +396,11 @@ def _mapper_event_loss(
         cam.H, cam.W, lo_h, lo_w, cam.fx, cam.fy, cam.cx, cam.cy, cur_c2w
     )
     _, _, cur_lo = render_rays(
-        decoders, grids, rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
-        bound, "color", settings, gt_depth=gt_depth_lo_flat,
+        decoders, grids,
+        constrain_dp(rays_o.reshape(-1, 3), dp),
+        constrain_dp(rays_d.reshape(-1, 3), dp),
+        bound, "color", settings,
+        gt_depth=constrain_dp(gt_depth_lo_flat, dp),
     )
     cur_lo = cur_lo.reshape(lo_h, lo_w, 3)
     pred, _ = inference_event(eventnet, prev_color_lo, cur_lo)
@@ -417,8 +428,10 @@ class Mapper:
         coarse_mapper: bool = False,
         eventnet: Optional[Dict] = None,
         seed: int = 1234,
+        dp=None,
     ):
         self.cfg = cfg
+        self.dp = dp
         self.cam = cam
         self.settings = settings
         self.bound_np = np.asarray(bound, np.float32)
@@ -613,6 +626,7 @@ class Mapper:
             stages,
             use_events,
             color_refine,
+            self.dp,
         )
         # device scalar on purpose: float() would stall the host on the whole
         # mapping program; the pipeline fetches it in deferred metric batches

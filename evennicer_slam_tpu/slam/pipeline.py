@@ -147,6 +147,9 @@ class EvenNICERSLAM:
             self.cam.H, self.cam.W, self.cam.fx, self.cam.fy,
             self.cam.cx, self.cam.cy, self.bound, self.settings,
         )
+        from evennicer_slam_tpu.parallel.sharding import pipeline_dp_sharding
+
+        self.dp_sharding = pipeline_dp_sharding(cfg)
         t_cfg = TrackerConfig.from_cfg(cfg, self.use_events)
         m_cfg = MapperConfig.from_cfg(
             cfg, use_events=cfg.get("mapping", {}).get("use_events", False)
@@ -159,11 +162,14 @@ class EvenNICERSLAM:
             and jax.default_backend() != "cpu"
         )
         tracker_settings = self.settings._replace(fused_decode=fused)
-        self.tracker = Tracker(t_cfg, self.cam, tracker_settings, self.bound, self.eventnet)
+        self.tracker = Tracker(t_cfg, self.cam, tracker_settings, self.bound,
+                               self.eventnet, dp=self.dp_sharding)
         self.mapper = Mapper(m_cfg, self.cam, self.settings, self.bound,
-                             coarse_mapper=False, eventnet=self.eventnet)
+                             coarse_mapper=False, eventnet=self.eventnet,
+                             dp=self.dp_sharding)
         self.coarse_mapper = (
-            Mapper(m_cfg, self.cam, self.settings, self.bound, coarse_mapper=True)
+            Mapper(m_cfg, self.cam, self.settings, self.bound,
+                   coarse_mapper=True, dp=self.dp_sharding)
             if self.coarse else None
         )
         self.t_cfg, self.m_cfg = t_cfg, m_cfg

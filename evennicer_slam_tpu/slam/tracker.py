@@ -43,6 +43,7 @@ from evennicer_slam_tpu.core.quaternion import (
 from evennicer_slam_tpu.core.rays import get_rays_rescale, get_samples
 from evennicer_slam_tpu.models.eventnet import inference_event
 from evennicer_slam_tpu.ops.gaussian_blur import gaussian_blur
+from evennicer_slam_tpu.parallel.sharding import constrain_dp
 from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
 from evennicer_slam_tpu.render.renderer import RenderSettings, render_rays
 from evennicer_slam_tpu.slam.camera import Camera
@@ -142,8 +143,12 @@ def _tracking_loss(
     settings: RenderSettings,
     rgbd: bool,
     event: bool,
+    dp=None,
 ):
-    """One iteration's losses as a function of the camera tensor."""
+    """One iteration's losses as a function of the camera tensor. ``dp``
+    (static NamedSharding or None) shards every ray batch row-wise across
+    the device mesh — rendering is embarrassingly parallel over rays, so
+    GSPMD turns the loss/pose-gradient reductions into one psum over dp."""
     c2w = pose_matrix_from_tensor(cam_tensor)
     aux: Dict[str, jnp.ndarray] = {}
     total = jnp.zeros(())
@@ -154,6 +159,10 @@ def _tracking_loss(
             key, He, cam.H - He, We, cam.W - We, cfg.pixels,
             cam.fx, cam.fy, cam.cx, cam.cy, c2w, gt_depth, gt_color,
         )
+        rays_o = constrain_dp(rays_o, dp)
+        rays_d = constrain_dp(rays_d, dp)
+        b_depth = constrain_dp(b_depth, dp)
+        b_color = constrain_dp(b_color, dp)
         if settings.nice:
             inside = inside_bound_mask(
                 jax.lax.stop_gradient(rays_o), jax.lax.stop_gradient(rays_d),
@@ -189,8 +198,10 @@ def _tracking_loss(
         )
         _, _, cur_color_lo = render_rays(
             decoders, grids,
-            rays_o.reshape(-1, 3), rays_d.reshape(-1, 3),
-            bound, "color", settings, gt_depth=gt_depth_lo_flat,
+            constrain_dp(rays_o.reshape(-1, 3), dp),
+            constrain_dp(rays_d.reshape(-1, 3), dp),
+            bound, "color", settings,
+            gt_depth=constrain_dp(gt_depth_lo_flat, dp),
         )
         cur_color_lo = cur_color_lo.reshape(lo_h, lo_w, 3)
         pred_event, _ = inference_event(eventnet, prev_color_lo, cur_color_lo)
@@ -225,7 +236,8 @@ def initial_pose_tensor(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "cam", "settings", "rgbd", "event", "const_speed"),
+    static_argnames=("cfg", "cam", "settings", "rgbd", "event", "const_speed",
+                     "dp"),
 )
 def track_frame_jit(
     pre_c2w: jnp.ndarray,
@@ -246,6 +258,7 @@ def track_frame_jit(
     rgbd: bool,
     event: bool,
     const_speed: bool,
+    dp=None,
 ):
     """Full per-frame tracking: pose init by constant-speed extrapolation
     (reference src/Tracker.py:316-324) followed by ``cfg.iters`` Adam steps —
@@ -284,6 +297,7 @@ def track_frame_jit(
         settings=settings,
         rgbd=rgbd,
         event=event,
+        dp=dp,
     )
     grad_fn = jax.value_and_grad(
         lambda ct, key: loss_fn(ct, key=key), has_aux=True
@@ -341,8 +355,10 @@ class Tracker:
         settings: RenderSettings,
         bound: np.ndarray,
         eventnet: Optional[Dict] = None,
+        dp=None,
     ):
         self.cfg = cfg
+        self.dp = dp
         self.cam = cam
         self.settings = settings
         self.bound = jnp.asarray(bound, jnp.float32)
@@ -418,6 +434,7 @@ class Tracker:
             rgbd,
             event,
             const_speed,
+            self.dp,
         )
         self.last_losses = losses
         return c2w
