@@ -252,6 +252,8 @@ def map_frame_jit(
     grids,
     decoders,
     cam_tensors,
+    adam,
+    adam_ev,
     fixed_c2w,
     opt_cam_mask,
     colors,
@@ -260,6 +262,7 @@ def map_frame_jit(
     bound,
     base_key,
     seg_lens,          # dict stage -> dynamic scalar iteration count
+    seg_starts,        # dict stage -> dynamic global start iter (RNG/LR phase)
     lr_factor,         # dynamic scalar
     prev_color_lo,
     gt_event_lo,
@@ -280,10 +283,15 @@ def map_frame_jit(
 ):
     """One full mapping call: sequential per-stage loops with dynamic lengths.
 
-    Returns (grids, decoders, cam_tensors, last_loss, last_event_loss)."""
+    Adam state is threaded through (callers init it via ``adam_init``), and
+    ``seg_starts`` gives each stage's global starting iteration — so a call
+    can be split into chunks (per-inner-iteration visualization) and remain
+    bitwise identical to the unchunked call: RNG keys and LR schedules are
+    functions of the global iteration, and the optimizer state carries over.
+
+    Returns (grids, decoders, cam_tensors, adam, adam_ev, last_loss,
+    last_event_loss)."""
     params = (grids, decoders, cam_tensors)
-    adam = adam_init(params)
-    adam_ev = adam_init(params) if use_events else None
 
     cfg_now = cfg._replace(fix_color=cfg.fix_color or fix_color_now)
 
@@ -336,12 +344,13 @@ def map_frame_jit(
 
         def body(i, carry):
             params, adam, adam_ev, _, _ = carry
-            key = jax.random.fold_in(jax.random.fold_in(base_key, _stage_id(stage)), i)
+            it = i + seg_starts[stage]
+            key = jax.random.fold_in(jax.random.fold_in(base_key, _stage_id(stage)), it)
             loss, grads = grad_fn(params, key)
             if use_frustum:
                 grads = (_mask_grid_grads(grads[0], grid_masks, coarse_mapper),
                          grads[1], grads[2])
-            lrs = lr_tree_for(params, event_update=False, it=i)
+            lrs = lr_tree_for(params, event_update=False, it=it)
             new_params, adam = adam_update(grads, adam, params, lrs)
             ev_loss = jnp.zeros(())
             if use_events:
@@ -363,8 +372,9 @@ def map_frame_jit(
     for stage in stages:
         body = make_stage_body(stage)
         carry = jax.lax.fori_loop(0, seg_lens[stage], body, carry)
-    params, _, _, last_loss, last_ev = carry
-    return params[0], params[1], params[2], last_loss, last_ev
+    params, adam, adam_ev, last_loss, last_ev = carry
+    return (params[0], params[1], params[2], adam, adam_ev,
+            last_loss, last_ev)
 
 
 def _stage_id(stage: str) -> int:
@@ -488,8 +498,19 @@ class Mapper:
         grids=None,
         decoders=None,
         cur_images_dev=None,
+        vis_callback=None,
+        vis_inside_freq: int = 0,
     ):
-        """One mapping call. Returns (grids, decoders, new_cur_c2w or None)."""
+        """One mapping call. Returns (grids, decoders, new_cur_c2w or None).
+
+        ``vis_callback(global_iter, grids, decoders, cam_tensors)`` — when
+        given with ``vis_inside_freq`` > 0, the on-device optimization is
+        split into chunks of that many joint iterations and the callback
+        fires before each chunk (reference Visualizer.vis fires every
+        ``vis_inside_freq`` iterations inside the joint loop,
+        src/utils/Visualizer.py:34-44). Chunking is bitwise identical to the
+        unchunked call: Adam state is threaded through and RNG/LR phases are
+        functions of the global iteration."""
         cfg = self.cfg
         cam = self.cam
         window = self.select_window(cur_gt_color, cur_gt_depth, cur_c2w)
@@ -563,7 +584,13 @@ class Mapper:
                 "fine": f_end - m_end,
                 "color": num_joint_iters - 1 - f_end,
             }
-        seg_lens = {s: jnp.asarray(seg.get(s, 0), jnp.int32) for s in stages}
+        # global-iteration span of each stage (chunking slices these)
+        spans = {}
+        acc = 0
+        for s in stages:
+            spans[s] = (acc, acc + seg.get(s, 0))
+            acc += seg.get(s, 0)
+        total_iters = acc
 
         # frustum masks
         use_frustum = cfg.frustum_feature_selection and self.settings.nice and not color_refine
@@ -598,36 +625,70 @@ class Mapper:
             gt_depth_lo_flat = jnp.zeros((lo_h * lo_w,))
             balancer = 0.0
 
-        new_grids, new_decoders, new_cams, loss, ev_loss = map_frame_jit(
-            grids,
-            decoders,
-            jnp.asarray(cam_tensors),
-            jnp.asarray(fixed_c2w),
-            jnp.asarray(opt_mask),
-            colors,
-            depths,
-            grid_masks,
-            self.bound,
-            jax.random.PRNGKey(seed),
-            seg_lens,
-            jnp.asarray(lr_factor, jnp.float32),
-            prev_color_lo,
-            gt_event_lo,
-            gt_depth_lo_flat,
-            self.eventnet,
-            jnp.asarray(balancer, jnp.float32),
-            cfg,
-            cam,
-            self.settings,
-            ba,
-            self.coarse_mapper,
-            pix_per_img,
-            use_frustum,
-            stages,
-            use_events,
-            color_refine,
-            self.dp,
-        )
+        new_grids, new_decoders = grids, decoders
+        new_cams = jnp.asarray(cam_tensors)
+        params0 = (new_grids, new_decoders, new_cams)
+        adam = adam_init(params0)
+        adam_ev = adam_init(params0) if use_events else None
+        loss = ev_loss = jnp.zeros(())
+
+        if vis_callback is not None and vis_inside_freq > 0:
+            chunks = [
+                (a, min(a + vis_inside_freq, total_iters))
+                for a in range(0, total_iters, vis_inside_freq)
+            ]
+        else:
+            chunks = [(0, total_iters)]
+
+        for a, b in chunks:
+            if vis_callback is not None and vis_inside_freq > 0:
+                vis_callback(a, new_grids, new_decoders, new_cams)
+            seg_lens = {
+                s: jnp.asarray(
+                    max(0, min(b, spans[s][1]) - max(a, spans[s][0])), jnp.int32
+                )
+                for s in stages
+            }
+            seg_starts = {
+                s: jnp.asarray(
+                    max(0, min(a, spans[s][1]) - spans[s][0]), jnp.int32
+                )
+                for s in stages
+            }
+            (new_grids, new_decoders, new_cams, adam, adam_ev, loss,
+             ev_loss) = map_frame_jit(
+                new_grids,
+                new_decoders,
+                new_cams,
+                adam,
+                adam_ev,
+                jnp.asarray(fixed_c2w),
+                jnp.asarray(opt_mask),
+                colors,
+                depths,
+                grid_masks,
+                self.bound,
+                jax.random.PRNGKey(seed),
+                seg_lens,
+                seg_starts,
+                jnp.asarray(lr_factor, jnp.float32),
+                prev_color_lo,
+                gt_event_lo,
+                gt_depth_lo_flat,
+                self.eventnet,
+                jnp.asarray(balancer, jnp.float32),
+                cfg,
+                cam,
+                self.settings,
+                ba,
+                self.coarse_mapper,
+                pix_per_img,
+                use_frustum,
+                stages,
+                use_events,
+                color_refine,
+                self.dp,
+            )
         # device scalar on purpose: float() would stall the host on the whole
         # mapping program; the pipeline fetches it in deferred metric batches
         self.last_loss = loss

@@ -296,8 +296,11 @@ class EvenNICERSLAM:
             return self._tracking_vis
         if self._mapping_vis is None:
             m = self.cfg["mapping"]
+            # reference quirk: inside_freq = 2*vis_inside_freq - 1
+            # "to see start and end" (reference src/Mapper.py:101-102)
             self._mapping_vis = Visualizer(
-                m.get("vis_freq", 50), 1,
+                m.get("vis_freq", 50),
+                max(1, 2 * m.get("vis_inside_freq", 25) - 1),
                 os.path.join(self.output, "mapping_vis"),
                 self.renderer, self.verbose,
             )
@@ -345,6 +348,21 @@ class EvenNICERSLAM:
             mappers.append(self.coarse_mapper)
         mappers.append(self.mapper)
 
+        # per-inner-iteration visual diagnostics (reference fires Visualizer
+        # every vis_freq frames x inside_freq joint iterations,
+        # src/utils/Visualizer.py:34-44): chunk the device loop and render
+        # the current frame between chunks
+        vis_cb = None
+        vis_inside = 0
+        if self.cfg.get("enable_vis", True):
+            mvis = self._get_vis("mapping")
+            if mvis.should_vis(idx, 0):
+                vis_inside = mvis.inside_freq
+
+                def vis_cb(it, g, d, cams, _frame=frame, _idx=idx):
+                    mvis.vis(_idx, it, _frame.depth, _frame.color,
+                             self._pose_np(_idx), g, d)
+
         for mapper in mappers:
             if color_refine and mapper.coarse_mapper:
                 continue
@@ -364,6 +382,8 @@ class EvenNICERSLAM:
                     grids=self.grids,
                     decoders=self.decoders,
                     cur_images_dev=images_dev,
+                    vis_callback=None if mapper.coarse_mapper else vis_cb,
+                    vis_inside_freq=vis_inside,
                 )
                 self.grids = grids
                 self.decoders = decoders

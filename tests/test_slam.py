@@ -180,6 +180,37 @@ class TestMapperEventSupervision:
         assert np.isfinite(np.asarray(slam.grids["middle"])).all()
 
 
+class TestMappingInnerIterationVis:
+    def test_inner_iteration_panels_and_equivalence(self, tmp_path):
+        """Per-inner-iteration mapping vis (reference Visualizer fires every
+        vis_freq frames x inside_freq joint iterations,
+        src/utils/Visualizer.py:34-44): panels appear at iterations > 0, and
+        chunking the device loop leaves the optimization bitwise unchanged
+        (Adam state threaded, RNG keyed on global iteration)."""
+        cfg_a = tiny_cfg(tmp_path / "a", enable_vis=False)
+        slam_a = EvenNICERSLAM(cfg_a, nice=True)
+        slam_a.run(end_frame=3, mesh=False, checkpoint=False)
+
+        cfg_b = tiny_cfg(
+            tmp_path / "b",
+            mapping={"vis_freq": 2, "vis_inside_freq": 2},
+        )
+        slam_b = EvenNICERSLAM(cfg_b, nice=True)
+        slam_b.run(end_frame=3, mesh=False, checkpoint=False)
+
+        vis_dir = os.path.join(slam_b.output, "mapping_vis")
+        files = sorted(os.listdir(vis_dir)) if os.path.isdir(vis_dir) else []
+        inner = [f for f in files if f.endswith(".jpg")
+                 and int(f.split("_")[1].split(".")[0]) > 0]
+        assert inner, f"no inner-iteration panels in {files}"
+
+        for k in slam_a.grids:
+            np.testing.assert_array_equal(
+                np.asarray(slam_a.grids[k]), np.asarray(slam_b.grids[k]),
+                err_msg=f"chunked mapping diverged on grid {k}",
+            )
+
+
 class TestEventVisualization:
     def test_event_panels_written(self, tmp_path):
         cfg = tiny_cfg(tmp_path, events=True)
