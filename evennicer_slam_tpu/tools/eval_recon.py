@@ -97,100 +97,112 @@ def calc_3d_metric(
     }
 
 
-def splat_depth(
-    points: np.ndarray,
-    c2w: np.ndarray,
-    H: int,
-    W: int,
-    fx: float,
-    fy: float,
-    cx: float,
-    cy: float,
-) -> np.ndarray:
-    """Z-buffer depth render of a point set from a camera pose (camera
-    convention of core.rays). Zero where nothing projects."""
+def _viewmatrix(z, up, pos):
+    """Reference viewmatrix (eval_recon.py:15-21): columns [x, y, z, pos];
+    camera looks along +z (CV convention when up = [0, 0, -1])."""
+    vec2 = z / np.linalg.norm(z)
+    vec0 = np.cross(up, vec2)
+    vec0 = vec0 / np.linalg.norm(vec0)
+    vec1 = np.cross(vec2, vec0)
+    vec1 = vec1 / np.linalg.norm(vec1)
+    return np.stack([vec0, vec1, vec2, pos], 1)
+
+
+def _pca_obb(vertices: np.ndarray):
+    """Oriented bounding box via PCA (approximates trimesh's minimum-volume
+    oriented_bounds used by reference get_cam_position, eval_recon.py:118-127;
+    for room-shaped Replica meshes the principal axes match)."""
+    c = vertices.mean(0)
+    x = vertices - c
+    cov = x.T @ x / len(x)
+    _, vecs = np.linalg.eigh(cov)
+    R = vecs[:, ::-1]  # principal axis first
+    if np.linalg.det(R) < 0:
+        R[:, 2] *= -1
+    local = x @ R
+    lo, hi = local.min(0), local.max(0)
+    extents = hi - lo
+    transform = np.eye(4)
+    transform[:3, :3] = R
+    transform[:3, 3] = c + R @ ((lo + hi) / 2)
+    return extents, transform
+
+
+def _check_proj(points, W, H, fx, fy, cx, cy, c2w) -> bool:
+    """True if ANY point projects into the view (reference check_proj,
+    eval_recon.py:62-88; c2w here is already CV-convention)."""
     w2c = np.linalg.inv(c2w)
-    ones = np.ones((points.shape[0], 1))
-    cam = (w2c @ np.concatenate([points, ones], 1).T).T[:, :3]
-    z = -cam[:, 2]
-    front = z > 1e-6
-    cam = cam[front]
-    z = z[front]
-    u = np.round(cx + fx * cam[:, 0] / z).astype(int)
-    v = np.round(cy - fy * cam[:, 1] / z).astype(int)
-    ok = (u >= 0) & (u < W) & (v >= 0) & (v < H)
-    u, v, z = u[ok], v[ok], z[ok]
-    depth = np.full((H, W), np.inf)
-    np.minimum.at(depth, (v, u), z)
-    depth[~np.isfinite(depth)] = 0.0
-    return depth
+    cam = points @ w2c[:3, :3].T + w2c[:3, 3]
+    z = cam[:, 2] + 1e-5
+    uv = cam[:, :2] * np.array([fx, fy]) / z[:, None] + np.array([cx, cy])
+    mask = (z > 0) & (uv[:, 0] > 0) & (uv[:, 0] < W) & (uv[:, 1] > 0) & (uv[:, 1] < H)
+    return bool(mask.sum() > 0)
 
 
 def calc_2d_metric(
     rec_path: str,
     gt_path: str,
     n_imgs: int = 1000,
-    H: int = 500,
-    W: int = 500,
-    focal: float = 300.0,
-    n_points: int = 1500000,
+    align: bool = True,
     unseen_pc: np.ndarray = None,
     seed: int = 0,
 ) -> Dict[str, float]:
-    """Depth-L1 (cm) over random interior views (reference
-    eval_recon.py:131-210). Views are sampled above the GT mesh centroid
-    looking in random directions; views dominated by unseen regions are
-    skipped when an unseen point cloud is supplied."""
+    """Depth-L1 (cm) over random interior views — the reference protocol
+    (eval_recon.py:129-210): camera positions sampled uniformly in the GT
+    mesh's oriented bounding box scaled by (0.3, 0.7, 0.7) and raised 0.4 m;
+    random look-at targets with up = [0, 0, -1]; a view is REJECTED if any
+    point of ``{gt}_pc_unseen.npy`` projects into it; both meshes rendered
+    as triangle meshes (mesh/raster.py replaces o3d offscreen); error is the
+    mean |gt - rec| over ALL pixels of each accepted view."""
+    import os
+
+    from evennicer_slam_tpu.mesh.raster import rasterize_depth
+
+    H = W = 500
+    focal = 300.0
+    fx = fy = focal
+    cx = H / 2.0 - 0.5
+    cy = W / 2.0 - 0.5
     rng = np.random.default_rng(seed)
+
     rec = Mesh.load(rec_path)
     gt = Mesh.load(gt_path)
-    gt_pts = gt.sample_surface(n_points, rng)
-    rec_pts = rec.sample_surface(n_points, rng)
-    unseen_tree = cKDTree(unseen_pc) if unseen_pc is not None else None
+    if unseen_pc is None:
+        unseen_file = gt_path.replace(".ply", "_pc_unseen.npy")
+        if os.path.exists(unseen_file):
+            unseen_pc = np.load(unseen_file)
+    rec_v = rec.vertices
+    if align:
+        rec_pts = rec.sample_surface(200000, np.random.default_rng(1))
+        gt_pts = gt.sample_surface(200000, np.random.default_rng(2))
+        T = icp_align(rec_pts[::10], gt_pts[::10])
+        rec_v = rec_v @ T[:3, :3].T + T[:3, 3]
 
-    lo = gt.vertices.min(0)
-    hi = gt.vertices.max(0)
-    center = (lo + hi) / 2
-    cx, cy = (W - 1) / 2, (H - 1) / 2
+    extents, transform = _pca_obb(gt.vertices)
+    extents = extents * np.array([0.3, 0.7, 0.7])
+    transform = transform.copy()
+    transform[2, 3] += 0.4
 
     errs = []
     tries = 0
-    while len(errs) < n_imgs and tries < n_imgs * 5:
+    while len(errs) < n_imgs and tries < n_imgs * 50:
         tries += 1
-        eye = center + (rng.random(3) - 0.5) * (hi - lo) * 0.3
-        fwd = rng.normal(size=3)
-        fwd[2] *= 0.3
-        fwd /= np.linalg.norm(fwd)
-        z = -fwd
-        up = np.array([0.0, 0.0, 1.0])
-        x = np.cross(up, z)
-        if np.linalg.norm(x) < 1e-6:
+        up = np.array([0.0, 0.0, -1.0])
+        local = (rng.random(3) - 0.5) * extents
+        origin = transform[:3, :3] @ local + transform[:3, 3]
+        target = rng.uniform(-10000, 10000, 3) - origin
+        if np.linalg.norm(np.cross(up, target)) < 1e-8:
             continue
-        x /= np.linalg.norm(x)
-        y = np.cross(z, x)
         c2w = np.eye(4)
-        c2w[:3, :3] = np.stack([x, y, z], 1)
-        c2w[:3, 3] = eye
-
-        gt_depth = splat_depth(gt_pts, c2w, H, W, focal, focal, cx, cy)
-        if unseen_tree is not None:
-            # skip views that mostly see unseen area (reference :169-183)
-            jj, ii = np.meshgrid(
-                np.arange(0, H, 16), np.arange(0, W, 16), indexing="ij"
-            )
-            d = gt_depth[jj, ii]
-            dirs = np.stack(
-                [(ii - cx) / focal, -(jj - cy) / focal, -np.ones_like(ii, float)], -1
-            )
-            pts = eye + (dirs @ c2w[:3, :3].T) * d[..., None]
-            nn, _ = unseen_tree.query(pts.reshape(-1, 3), k=1, workers=-1)
-            if (nn < 0.05).mean() > 0.2:
-                continue
-        rec_depth = splat_depth(rec_pts, c2w, H, W, focal, focal, cx, cy)
-        valid = (gt_depth > 0) & (rec_depth > 0)
-        if valid.sum() < 100:
-            continue
-        errs.append(np.abs(gt_depth[valid] - rec_depth[valid]).mean())
+        c2w[:3, :] = _viewmatrix(target, up, origin)
+        if unseen_pc is not None and _check_proj(
+            unseen_pc, W, H, fx, fy, cx, cy, c2w
+        ):
+            continue  # unseen region visible -> resample view
+        w2c = np.linalg.inv(c2w)
+        gt_depth = rasterize_depth(gt.vertices, gt.faces, w2c, H, W, fx, fy, cx, cy)
+        rec_depth = rasterize_depth(rec_v, rec.faces, w2c, H, W, fx, fy, cx, cy)
+        errs.append(np.abs(gt_depth - rec_depth).mean())
     return {"depth L1 (cm)": float(np.mean(errs) * 100) if errs else float("nan")}
 
 

@@ -8,9 +8,9 @@ from evennicer_slam_tpu.slam.camera import Camera
 from evennicer_slam_tpu.tools.cull_mesh import cull_mesh
 from evennicer_slam_tpu.tools.eval_ate import align, evaluate_ate
 from evennicer_slam_tpu.tools.eval_recon import (
+    calc_2d_metric,
     calc_3d_metric,
     icp_align,
-    splat_depth,
 )
 
 
@@ -85,12 +85,71 @@ class TestRecon:
         res = calc_3d_metric(pa, pb, n_samples=5000, align=False)
         assert res["accuracy (cm)"] > 5.0  # radius differs by 10 cm
 
-    def test_splat_depth(self):
-        pts = np.array([[0.0, 0.0, -1.0]])
-        c2w = np.eye(4)
-        d = splat_depth(pts, c2w, 11, 11, 10.0, 10.0, 5.0, 5.0)
-        assert abs(d[5, 5] - 1.0) < 1e-9
-        assert d.sum() == d[5, 5]
+    def test_rasterize_depth_quad(self):
+        """A z=2 quad rendered with the CV-convention rasterizer: exact
+        depth where covered, zero background, and perspective-correct depth
+        on a slanted quad."""
+        from evennicer_slam_tpu.mesh.raster import rasterize_depth
+
+        v = np.array([
+            [-1.0, -1.0, 2.0], [1.0, -1.0, 2.0],
+            [1.0, 1.0, 2.0], [-1.0, 1.0, 2.0],
+        ])
+        f = np.array([[0, 1, 2], [0, 2, 3]])
+        d = rasterize_depth(v, f, np.eye(4), 21, 21, 10.0, 10.0, 10.0, 10.0)
+        assert abs(d[10, 10] - 2.0) < 1e-6
+        assert abs(d[5, 5] - 2.0) < 1e-6
+        assert d[0, 0] == 0.0  # quad corners project just past the border
+
+        # slanted quad: depth varies linearly in 1/z across the screen
+        v2 = v.copy()
+        v2[:, 2] = 2.0 + 0.5 * v2[:, 0]
+        d2 = rasterize_depth(v2, f, np.eye(4), 21, 21, 10.0, 10.0, 10.0, 10.0)
+        # center ray x=0 -> z=2
+        assert abs(d2[10, 10] - 2.0) < 1e-3
+
+    def test_rasterize_near_clipping(self):
+        """Faces crossing the near plane are clipped, not dropped."""
+        from evennicer_slam_tpu.mesh.raster import rasterize_depth
+
+        v = np.array([
+            [0.0, -0.5, -1.0],   # behind the camera
+            [0.5, 0.5, 3.0],
+            [-0.5, 0.5, 3.0],
+        ])
+        f = np.array([[0, 1, 2]])
+        d = rasterize_depth(v, f, np.eye(4), 21, 21, 10.0, 10.0, 10.0, 10.0)
+        assert (d > 0).sum() > 0
+
+    def test_2d_metric_identical_meshes(self, tmp_path):
+        """Reference-protocol 2D metric (interior OBB views, mesh
+        rasterization): identical meshes give ~0 depth-L1; a radius change
+        is detected. Unseen-point rejection discards views that see the
+        marked region."""
+        m = sphere_mesh(r=0.5, n=24)
+        p = str(tmp_path / "s.ply")
+        m.export(p)
+        res = calc_2d_metric(p, p, n_imgs=4, align=False)
+        assert res["depth L1 (cm)"] < 0.5
+
+        b = sphere_mesh(r=0.6, n=24)
+        pb = str(tmp_path / "b.ply")
+        b.export(pb)
+        res2 = calc_2d_metric(p, pb, n_imgs=4, align=False)
+        assert res2["depth L1 (cm)"] > res["depth L1 (cm)"]
+
+    def test_2d_metric_unseen_rejection(self, tmp_path):
+        # room-scale sphere: the protocol's +0.4 m camera z-raise (reference
+        # get_cam_position, eval_recon.py:125) must stay inside the mesh
+        m = sphere_mesh(r=0.5, n=24)
+        m.vertices = m.vertices * 4.0  # radius 2 m
+        p = str(tmp_path / "s.ply")
+        m.export(p)
+        # every surface point marked unseen -> every view rejected -> nan
+        rng = np.random.default_rng(0)
+        unseen = m.sample_surface(500, rng)
+        res = calc_2d_metric(p, p, n_imgs=2, align=False, unseen_pc=unseen)
+        assert np.isnan(res["depth L1 (cm)"])
 
 
 class TestCull:
