@@ -42,7 +42,11 @@ def main():
         "verbose": False,
         # Replica event workload shape (reference configs/Replica/replica.yaml)
         "event": {
-            "pretrained_path": "pretrained/eventnet_2head_replica_1epoch.pth",
+            # throughput bench: EventNet weights do not affect timing, so the
+            # net runs from random init unless a trained .npz is present
+            # (produce one with tools/event_ablation.py or
+            # tools/train_eventnet.py)
+            "pretrained_path": "pretrained/eventnet_mapdomain.npz",
             "rgbd_every_frame": 5, "activate_events": True, "balancer": 0.025,
             "scale_factor": 0.15, "blur": True, "kernel_sizes": [9],
             "unblurred_weight": 0, "kernel_weights": [1],

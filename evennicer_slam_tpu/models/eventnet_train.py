@@ -128,6 +128,114 @@ def train_eventnet(
     return params
 
 
+# ---------------------------------------------------------------------------
+# map-domain training: close the inference-time domain gap
+# ---------------------------------------------------------------------------
+#
+# At SLAM time the tracker feeds EventNet (prev GT color downscaled,
+# CURRENT IMAGE RENDERED FROM THE LEARNED MAP) and compares against the
+# integrated GT events since the last RGB-D frame (slam/tracker.py event
+# branch; reference src/Tracker.py:129-157). A net trained purely on GT-GT
+# intensity pairs sees map-render artifacts (early-map blur, color bias) as
+# huge fake events, which biases the pose loss — the round-1 finding that
+# made events LOSE to dead reckoning. The fix: build the training set from
+# an actual learned map's renders.
+
+def map_domain_pairs(
+    cfg: Dict,
+    n_map_frames: int = 20,
+    n_pairs: int = 64,
+    max_offset: int = 5,
+    seed: int = 0,
+    verbose: bool = False,
+):
+    """(prev_lo, map_render_lo, gt_event_lo) triples from a real map.
+
+    Runs the pipeline with ``gt_camera`` (mapping only) over the first
+    ``n_map_frames`` of the configured dataset, then for random (k, k+j)
+    windows (j <= max_offset, the ``rgbd_every_frame`` horizon) renders the
+    CURRENT image from the learned map at the GT pose and pairs it with the
+    bilinear-downscaled GT previous image and the nearest-downscaled
+    integral of the GT events over the window — exactly the tracker's
+    inference-time input/target distribution."""
+    from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
+    from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
+
+    import copy
+
+    cfg = copy.deepcopy(cfg)
+    cfg.setdefault("tracking", {})["gt_camera"] = True
+    cfg["enable_vis"] = False
+    slam = EvenNICERSLAM(cfg, nice=True)
+    n = min(n_map_frames, slam.n_img)
+    slam.run(end_frame=n, mesh=False, checkpoint=False)
+    if verbose:
+        print(f"[map_domain_pairs] mapped {n} frames", flush=True)
+
+    lo_hw = slam.tracker.lo_hw
+    sf = slam.t_cfg.scale_factor
+    rng = np.random.default_rng(seed)
+    frames = [slam.frame_reader[i] for i in range(n)]
+    prevs, curs, evs = [], [], []
+    for _ in range(n_pairs):
+        j = int(rng.integers(1, max_offset + 1))
+        k = int(rng.integers(0, n - j))
+        prev = frames[k]
+        cur = frames[k + j]
+        prev_lo = resize_bilinear(jnp.asarray(prev.color), lo_hw)
+        gt_depth = jnp.asarray(cur.depth)
+        _, _, cur_lo = slam.renderer.render_img_rescale(
+            slam.decoders, slam.grids, jnp.asarray(cur.c2w[:3]), "color",
+            gt_depth=gt_depth, scale_factor=sf,
+        )
+        ev = np.zeros_like(frames[0].event)
+        for i in range(k + 1, k + j + 1):
+            ev = ev + frames[i].event
+        ev_lo = resize_nearest(jnp.asarray(ev), lo_hw)
+        prevs.append(np.asarray(prev_lo))
+        curs.append(np.asarray(cur_lo))
+        evs.append(np.asarray(ev_lo))
+    return (
+        np.stack(prevs).astype(np.float32),
+        np.stack(curs).astype(np.float32),
+        np.stack(evs).astype(np.float32),
+    )
+
+
+def train_eventnet_map_domain(
+    cfg: Dict,
+    steps: int = 300,
+    batch: int = 4,
+    lr: float = 3e-4,
+    n_map_frames: int = 20,
+    n_pairs: int = 96,
+    seed: int = 0,
+    init_params: Dict = None,
+    verbose: bool = False,
+) -> Dict:
+    """Fine-tune (or train from scratch) on map-domain triples."""
+    prevs, curs, evs = map_domain_pairs(
+        cfg, n_map_frames=n_map_frames, n_pairs=n_pairs, seed=seed,
+        verbose=verbose,
+    )
+    rng = np.random.default_rng(seed + 1)
+    params = (
+        init_params if init_params is not None
+        else init_eventnet(jax.random.PRNGKey(seed))
+    )
+    opt_state = adam_init(params)
+    for step in range(steps):
+        idx = rng.integers(0, len(prevs), size=batch)
+        params, opt_state, loss = _train_step(
+            params, opt_state, jnp.asarray(prevs[idx]), jnp.asarray(curs[idx]),
+            jnp.asarray(evs[idx]), lr,
+        )
+        if verbose and step % 50 == 0:
+            print(f"eventnet map-domain step {step}: loss {float(loss):.4f}",
+                  flush=True)
+    return params
+
+
 def save_eventnet_npz(params: Dict, path: str) -> None:
     from evennicer_slam_tpu.utils.logger import _flatten_tree
 

@@ -71,6 +71,11 @@ class TrackerConfig(NamedTuple):
     kernel_sizes: Tuple[int, ...] = (9,)
     unblurred_weight: float = 0.0
     kernel_weights: Tuple[float, ...] = (1.0,)
+    # reference quirk: the best tracked pose is selected by the EVENT loss
+    # even on frames that also have RGB-D (src/Tracker.py:439-442). "rgbd"
+    # switches selection to the RGB-D loss on RGB-D frames (ablation knob;
+    # event-only frames always select by event loss - it is the only one).
+    best_pose_criterion: str = "event"
 
     @staticmethod
     def from_cfg(cfg: Dict[str, Any], use_events: bool) -> "TrackerConfig":
@@ -97,6 +102,7 @@ class TrackerConfig(NamedTuple):
             kernel_sizes=tuple(e.get("kernel_sizes", [9])),
             unblurred_weight=e.get("unblurred_weight", 0.0),
             kernel_weights=tuple(e.get("kernel_weights", [1.0])),
+            best_pose_criterion=e.get("best_pose_criterion", "event"),
         )
 
 
@@ -311,8 +317,12 @@ def track_frame_jit(
         (_, aux), g = grad_fn(cam_t, key)
         new_cam, adam_state = adam_update(g, adam_state, cam_t, lr_vec)
         # criterion: event loss when the event branch runs (it is always
-        # available), else the RGB-D loss (vanilla NICE-SLAM behavior)
-        crit = aux["event"] if event else aux["rgbd"]
+        # available), else the RGB-D loss (vanilla NICE-SLAM behavior).
+        # best_pose_criterion="rgbd" overrides on RGB-D frames (quirk knob).
+        if event and (cfg.best_pose_criterion == "event" or not rgbd):
+            crit = aux["event"]
+        else:
+            crit = aux["rgbd"]
         better = crit < best_loss
         best_loss = jnp.where(better, crit, best_loss)
         # reference stores the post-step tensor for a pre-step loss

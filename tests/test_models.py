@@ -90,6 +90,86 @@ class TestConverterParity:
         np.testing.assert_allclose(ours, theirs.numpy(), rtol=1e-4, atol=1e-4)
 
 
+class TestPretrainedCheckpointLoading:
+    """End-to-end ConvONet checkpoint consumption: a .pt file keyed exactly
+    as the reference's pretrained middle_fine.pt / coarse.pt (the key-prefix
+    surgery contract of src/EvenNICER_SLAM.py:184-215) loads through
+    load_pretrained_decoders and reproduces the torch forward. The real
+    checkpoints are not redistributable; this pins the loader against the
+    on-disk FORMAT so a real file drops in unchanged."""
+
+    def test_middle_fine_and_coarse_checkpoints(self, rng, tmp_path):
+        from evennicer_slam_tpu.models.decoders import (
+            _mlp_no_xyz_forward,
+            init_nice_decoders,
+        )
+        from evennicer_slam_tpu.models.pretrained import (
+            load_pretrained_decoders,
+        )
+
+        mid_state = random_torch_mlp_state(rng, c_dim=32)
+        fine_state = random_torch_mlp_state(rng, c_dim=64)  # concat_feature
+        model = {}
+        for k, v in mid_state.items():
+            model["decoder.coarse_" + k] = torch.from_numpy(v)
+        for k, v in fine_state.items():
+            model["decoder.fine_" + k] = torch.from_numpy(v)
+        # encoder entries must be ignored by the surgery
+        # ('decoder' in key and 'encoder' not in key, EvenNICER_SLAM.py:196)
+        model["encoder.conv.weight"] = torch.zeros(3, 3)
+        mf_path = str(tmp_path / "middle_fine.pt")
+        torch.save({"model": model}, mf_path)
+
+        # coarse.pt: MLP_no_xyz (no embedder/fc_c; lin0 input = hidden)
+        c_state = {}
+        in_dim = 32
+        for i in range(5):
+            c_state[f"pts_linears.{i}.weight"] = rng.normal(
+                size=(32, in_dim), scale=0.3).astype(np.float32)
+            c_state[f"pts_linears.{i}.bias"] = rng.normal(
+                size=(32,), scale=0.1).astype(np.float32)
+            in_dim = 32 + 32 if i == 2 else 32
+        c_state["output_linear.weight"] = rng.normal(
+            size=(1, in_dim), scale=0.3).astype(np.float32)
+        c_state["output_linear.bias"] = rng.normal(
+            size=(1,), scale=0.1).astype(np.float32)
+        c_path = str(tmp_path / "coarse.pt")
+        torch.save(
+            {"model": {"decoder." + k: torch.from_numpy(v)
+                       for k, v in c_state.items()}},
+            c_path,
+        )
+
+        decoders = init_nice_decoders(jax.random.PRNGKey(0), coarse=True)
+        loaded = load_pretrained_decoders(decoders, mf_path, c_path)
+
+        p = rng.uniform(-1, 1, size=(23, 3)).astype(np.float32)
+        feat32 = rng.normal(size=(23, 32)).astype(np.float32)
+        feat64 = rng.normal(size=(23, 64)).astype(np.float32)
+
+        ours_mid = np.asarray(
+            _mlp_forward(loaded["middle"], jnp.asarray(p), jnp.asarray(feat32)))
+        ref_mid = torch_mlp_forward(
+            mid_state, torch.from_numpy(p), torch.from_numpy(feat32))
+        np.testing.assert_allclose(ours_mid, ref_mid.numpy()[:, 0],
+                                   rtol=1e-4, atol=1e-4)
+
+        ours_fine = np.asarray(
+            _mlp_forward(loaded["fine"], jnp.asarray(p), jnp.asarray(feat64)))
+        ref_fine = torch_mlp_forward(
+            fine_state, torch.from_numpy(p), torch.from_numpy(feat64))
+        np.testing.assert_allclose(ours_fine, ref_fine.numpy()[:, 0],
+                                   rtol=1e-4, atol=1e-4)
+
+        out_c = np.asarray(
+            _mlp_no_xyz_forward(loaded["coarse"], jnp.asarray(feat32)))
+        assert out_c.shape == (23,) and np.isfinite(out_c).all()
+        # color decoder untouched by the surgery
+        np.testing.assert_array_equal(
+            np.asarray(loaded["color"]["out_w"]),
+            np.asarray(decoders["color"]["out_w"]))
+
+
 class TestNICE:
     def setup_method(self, method):
         key = jax.random.PRNGKey(0)

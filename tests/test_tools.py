@@ -1,5 +1,7 @@
 """Offline tool tests: ATE alignment, reconstruction metrics, mesh culling."""
 
+import os
+
 import numpy as np
 
 from evennicer_slam_tpu.mesh.marching import marching_cubes
@@ -164,3 +166,30 @@ class TestCull:
         pose_away[:3, :3] = np.diag([1, -1, -1])  # looking along +z
         out2 = cull_mesh(m, np.stack([pose_away]), cam)
         assert len(out2.faces) == 0
+
+
+class TestViz:
+    def test_replay_panel_and_gif(self, tmp_path):
+        """Replay rendering incl. the rasterized chase-cam mesh panel and
+        Pillow GIF assembly (tools/viz.py, rebuilding the reference's o3d
+        frontend headless)."""
+        from evennicer_slam_tpu.tools.viz import assemble_gif, draw_trajectory
+
+        m = sphere_mesh(r=0.5, n=16)
+        mesh_path = str(tmp_path / "m.ply")
+        m.export(mesh_path)
+        n = 4
+        est = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        est[:, 0, 3] = np.linspace(0, 0.3, n)
+        est[:, 2, 3] = 1.2  # outside the sphere looking at it
+        gt = est.copy()
+        gt[:, 0, 3] += 0.01
+
+        frame_dir = tmp_path / "frames"
+        frame_dir.mkdir()
+        for k in range(1, n):
+            p = draw_trajectory(est[: k + 1], gt[: k + 1], mesh_path,
+                                str(frame_dir / f"{k:05d}.png"), title=f"f{k}")
+            assert os.path.exists(p)
+        gif = assemble_gif(str(frame_dir), str(tmp_path / "replay.gif"))
+        assert gif and os.path.getsize(gif) > 0
