@@ -141,12 +141,28 @@ def train_eventnet(
 # made events LOSE to dead reckoning. The fix: build the training set from
 # an actual learned map's renders.
 
+def _perturb_pose(c2w: np.ndarray, rng, trans: float, rot: float):
+    q = c2w.copy()
+    q[:3, 3] += rng.normal(scale=trans, size=3)
+    ax = rng.normal(size=3)
+    ax /= np.linalg.norm(ax) + 1e-12
+    ang = rng.normal(scale=rot)
+    K = np.array([[0, -ax[2], ax[1]], [ax[2], 0, -ax[0]], [-ax[1], ax[0], 0]])
+    R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+    q[:3, :3] = q[:3, :3] @ R
+    return q
+
+
 def map_domain_pairs(
     cfg: Dict,
     n_map_frames: int = 20,
     n_pairs: int = 64,
     max_offset: int = 5,
     seed: int = 0,
+    perturb_trans: float = 0.0,
+    perturb_rot: float = 0.0,
+    gt_render_fn=None,
+    event_gain: float = 20.0,
     verbose: bool = False,
 ):
     """(prev_lo, map_render_lo, gt_event_lo) triples from a real map.
@@ -157,7 +173,14 @@ def map_domain_pairs(
     CURRENT image from the learned map at the GT pose and pairs it with the
     bilinear-downscaled GT previous image and the nearest-downscaled
     integral of the GT events over the window — exactly the tracker's
-    inference-time input/target distribution."""
+    inference-time input/target distribution.
+
+    When ``gt_render_fn(c2w) -> (color, depth)`` is supplied with
+    ``perturb_trans/rot`` > 0, half the triples render the current image at a
+    PERTURBED pose with the ESIM-style target events between the previous
+    frame and the GT view AT THAT POSE. Without these, off-pose renders are
+    out-of-distribution and the net's predictions flatten the tracker's loss
+    landscape exactly where pose gradients are needed."""
     from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
     from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
 
@@ -183,14 +206,28 @@ def map_domain_pairs(
         prev = frames[k]
         cur = frames[k + j]
         prev_lo = resize_bilinear(jnp.asarray(prev.color), lo_hw)
-        gt_depth = jnp.asarray(cur.depth)
+        perturbed = (
+            gt_render_fn is not None
+            and (perturb_trans > 0 or perturb_rot > 0)
+            and rng.random() < 0.5
+        )
+        if perturbed:
+            q = _perturb_pose(cur.c2w, rng, perturb_trans, perturb_rot)
+            gt_color_q, gt_depth_q = gt_render_fn(q)
+            pose, gt_depth = q, jnp.asarray(gt_depth_q)
+            diff = (gt_color_q.mean(-1) - prev.color.mean(-1)) * event_gain
+            ev = np.stack(
+                [np.clip(-diff, 0, 255), np.clip(diff, 0, 255)], -1
+            ).astype(np.float32)
+        else:
+            pose, gt_depth = cur.c2w, jnp.asarray(cur.depth)
+            ev = np.zeros_like(frames[0].event)
+            for i in range(k + 1, k + j + 1):
+                ev = ev + frames[i].event
         _, _, cur_lo = slam.renderer.render_img_rescale(
-            slam.decoders, slam.grids, jnp.asarray(cur.c2w[:3]), "color",
+            slam.decoders, slam.grids, jnp.asarray(pose[:3]), "color",
             gt_depth=gt_depth, scale_factor=sf,
         )
-        ev = np.zeros_like(frames[0].event)
-        for i in range(k + 1, k + j + 1):
-            ev = ev + frames[i].event
         ev_lo = resize_nearest(jnp.asarray(ev), lo_hw)
         prevs.append(np.asarray(prev_lo))
         curs.append(np.asarray(cur_lo))
@@ -211,12 +248,16 @@ def train_eventnet_map_domain(
     n_pairs: int = 96,
     seed: int = 0,
     init_params: Dict = None,
+    perturb_trans: float = 0.0,
+    perturb_rot: float = 0.0,
+    gt_render_fn=None,
     verbose: bool = False,
 ) -> Dict:
     """Fine-tune (or train from scratch) on map-domain triples."""
     prevs, curs, evs = map_domain_pairs(
         cfg, n_map_frames=n_map_frames, n_pairs=n_pairs, seed=seed,
-        verbose=verbose,
+        perturb_trans=perturb_trans, perturb_rot=perturb_rot,
+        gt_render_fn=gt_render_fn, verbose=verbose,
     )
     rng = np.random.default_rng(seed + 1)
     params = (

@@ -64,7 +64,12 @@ class TrackerConfig(NamedTuple):
     gt_camera: bool = False
     rgbd_every_frame: int = 1
     use_events: bool = False
-    activate_events: bool = True
+    # True: event loss optimized on every frame (reference behavior);
+    # False: never optimized (loss still computed for logging/selection);
+    # "non_rgbd": optimized only on frames WITHOUT an RGB-D loss — an
+    # extension: the event signal's ~5 mm bias can degrade the mm-precise
+    # RGB-D anchor frames it is summed into (measured, tools/event_ablation)
+    activate_events: object = True
     balancer: float = 0.025
     scale_factor: float = 0.15
     blur: bool = True
@@ -219,7 +224,9 @@ def _tracking_loss(
             loss_event = jnp.sum((gt_event_lo - pred_event) ** 2)
         loss_event = loss_event * cfg.balancer
         aux["event"] = loss_event
-        if cfg.activate_events:
+        if cfg.activate_events is True or (
+            cfg.activate_events == "non_rgbd" and not rgbd
+        ):
             total = total + loss_event
 
     return total, aux

@@ -1,0 +1,121 @@
+"""Full-toolchain validation on the synthetic benchmark.
+
+Runs the complete system the way a user would on Replica — full-resolution
+sequence through `EvenNICERSLAM.run()` with periodic meshing/checkpoints and
+the final `final_mesh_eval_rec.ply` — then evaluates every offline metric the
+reference defines (SURVEY.md §6): ATE RMSE from the checkpoint, 3D mesh
+accuracy/completion/ratio and the reference-protocol 2D depth-L1 against the
+scene's analytic ground-truth mesh.
+
+Prints one JSON line per metric block; exits nonzero if anything is missing.
+
+Usage:
+    python -m evennicer_slam_tpu.tools.validate_synthetic \
+        [--frames 100] [--hw 680 1200] [--events] [--scene DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def box_room_mesh(bound):
+    """The synthetic scene's exact geometry: the interior of the room box
+    (data/synthetic.render_box_views ray-traces this box)."""
+    import numpy as np
+
+    from evennicer_slam_tpu.mesh.trimesh_lite import Mesh
+
+    (x0, x1), (y0, y1), (z0, z1) = bound
+    v = np.array([
+        [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+        [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1],
+    ])
+    quads = [
+        (0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+        (2, 3, 7, 6), (0, 3, 7, 4), (1, 2, 6, 5),
+    ]
+    faces = []
+    for a, b, c, d in quads:
+        faces += [[a, b, c], [a, c, d]]
+    return Mesh(v, np.array(faces))
+
+
+def main():
+    parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    parser.add_argument("--frames", type=int, default=100)
+    parser.add_argument("--hw", type=int, nargs=2, default=(680, 1200))
+    parser.add_argument("--events", action="store_true")
+    parser.add_argument("--scene", default="/tmp/enslam_validate")
+    parser.add_argument("--n_imgs_2d", type=int, default=50)
+    args = parser.parse_args()
+
+    from evennicer_slam_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+
+    import numpy as np
+
+    from evennicer_slam_tpu.config import (
+        default_config_path,
+        load_config,
+        update_recursive,
+    )
+    from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
+    from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
+    from evennicer_slam_tpu.tools.eval_ate import evaluate_ate
+    from evennicer_slam_tpu.tools.eval_recon import calc_2d_metric, calc_3d_metric
+
+    H, W = args.hw
+    bound = np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32)
+    frag = make_synthetic_replica(
+        args.scene, n_frames=args.frames, H=H, W=W, fx=0.5 * W, fy=0.5 * W,
+        bound=bound, traj_step=0.012,
+    )
+    cfg = load_config(default_config_path(nice=True))
+    update_recursive(cfg, frag)
+    overrides = {
+        "verbose": False,
+        "enable_vis": True,
+        "mapping": {"ckpt_freq": args.frames // 2, "mesh_freq": 50},
+        "meshing": {"eval_rec": True},
+        "data": {"output": os.path.join(args.scene, "out")},
+    }
+    if args.events:
+        overrides["event"] = {
+            "pretrained_path": "pretrained/eventnet_mapdomain.npz",
+            "rgbd_every_frame": 5, "activate_events": True, "balancer": 0.025,
+            "scale_factor": 0.15, "blur": True, "kernel_sizes": [9],
+            "unblurred_weight": 0, "kernel_weights": [1],
+        }
+    else:
+        overrides["dataset"] = "replica"  # RGB-D only
+    update_recursive(cfg, overrides)
+
+    slam = EvenNICERSLAM(cfg, nice=True)
+    est = slam.run()
+    out = slam.output
+
+    gt = slam.gt_c2w_list
+    ate = evaluate_ate(est[:, :3, 3], gt[:, :3, 3],
+                       plot=os.path.join(out, "eval_ate_plot.png"))
+    print(json.dumps({"ate_rmse_m": ate["absolute_translational_error.rmse"],
+                      "ate_mean_m": ate["absolute_translational_error.mean"]}),
+          flush=True)
+
+    rec_path = os.path.join(out, "mesh", "final_mesh_eval_rec.ply")
+    assert os.path.exists(rec_path), f"missing {rec_path}"
+    gt_mesh = box_room_mesh(bound)
+    gt_path = os.path.join(args.scene, "gt_mesh.ply")
+    gt_mesh.export(gt_path)
+
+    m3 = calc_3d_metric(rec_path, gt_path)
+    print(json.dumps({"recon_3d": m3}), flush=True)
+    m2 = calc_2d_metric(rec_path, gt_path, n_imgs=args.n_imgs_2d)
+    print(json.dumps({"recon_2d": m2}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

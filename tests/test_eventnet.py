@@ -222,3 +222,34 @@ class TestFullForwardParityVsReference:
             golden = (ev_t * mask_t[:, 1:2]).numpy()[0].transpose(1, 2, 0)
         pred, _ = inference_event(params, jnp.asarray(img1), jnp.asarray(img2))
         np.testing.assert_allclose(np.asarray(pred), golden, rtol=1e-4, atol=1e-4)
+
+
+class TestPredictEventCLI:
+    def test_predict_event_tool(self, tmp_path, monkeypatch):
+        """Standalone prediction CLI (reference src/event_net.py:101-173):
+        .npz model + two images in -> event + binary mask PNGs out."""
+        import cv2
+        import sys
+
+        from evennicer_slam_tpu.models.eventnet import init_eventnet
+        from evennicer_slam_tpu.models.eventnet_train import save_eventnet_npz
+        from evennicer_slam_tpu.tools import predict_event
+
+        model_path = str(tmp_path / "net.npz")
+        save_eventnet_npz(init_eventnet(jax.random.PRNGKey(0)), model_path)
+        rng = np.random.default_rng(0)
+        p1 = str(tmp_path / "a.png")
+        p2 = str(tmp_path / "b.png")
+        cv2.imwrite(p1, (rng.uniform(size=(64, 96, 3)) * 255).astype(np.uint8))
+        cv2.imwrite(p2, (rng.uniform(size=(64, 96, 3)) * 255).astype(np.uint8))
+        ev_out = str(tmp_path / "ev.png")
+        bin_out = str(tmp_path / "bin.png")
+        monkeypatch.setattr(sys, "argv", [
+            "predict_event", "--model", model_path, "-img1", p1, "-img2", p2,
+            "--event", ev_out, "--binary", bin_out, "--scale", "0.5",
+        ])
+        predict_event.main()
+        ev = cv2.imread(ev_out)
+        bi = cv2.imread(bin_out, cv2.IMREAD_GRAYSCALE)
+        assert ev is not None and ev.shape == (32, 48, 3)
+        assert bi is not None and bi.shape == (32, 48)
