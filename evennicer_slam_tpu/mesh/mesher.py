@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from evennicer_slam_tpu.mesh.marching import marching_cubes
-from evennicer_slam_tpu.mesh.trimesh_lite import ConvexHullRegion, Mesh, concatenate
+from evennicer_slam_tpu.mesh.trimesh_lite import ConvexHullRegion, Mesh
 from evennicer_slam_tpu.render.renderer import RenderSettings, eval_points
 from evennicer_slam_tpu.slam.camera import Camera
 from evennicer_slam_tpu.slam.keyframes import _project
@@ -62,27 +62,126 @@ class Mesher:
         x = np.linspace(bound[0][0] - padding, bound[0][1] + padding, resolution)
         y = np.linspace(bound[1][0] - padding, bound[1][1] + padding, resolution)
         z = np.linspace(bound[2][0] - padding, bound[2][1] + padding, resolution)
-        xx, yy, zz = np.meshgrid(x, y, z)  # 'xy' indexing: shape (NY, NX, NZ)
-        points = np.vstack([xx.ravel(), yy.ravel(), zz.ravel()]).T.astype(np.float32)
-        return {"grid_points": points, "xyz": [x, y, z]}
+        return {"xyz": [x, y, z]}
+
+    @staticmethod
+    def lattice_points(xyz) -> np.ndarray:
+        """Materialize the query lattice in the reference's 'xy'-meshgrid
+        order (NY, NX, NZ) without three f64 grids + a transpose copy (which
+        cost ~20 s at 256^3). Only the forecast path needs host points; the
+        default path generates its lattice on device (masked_occ_sweep)."""
+        x, y, z = xyz
+        points = np.empty((len(y), len(x), len(z), 3), np.float32)
+        points[..., 0] = x[None, :, None]
+        points[..., 1] = y[:, None, None]
+        points[..., 2] = z[None, None, :]
+        return points.reshape(-1, 3)
+
+    def _eval_chunks(self, points: np.ndarray, grids, decoders, stage: str,
+                     out_slice) -> np.ndarray:
+        """Chunked decoder query on device (reference eval_points semantics
+        incl. out-of-bound +100). Two throughput rules for the remote chip:
+        every chunk is PADDED to points_batch_size so one executable serves
+        all calls (an unpadded tail — or a mesh's per-extraction vertex
+        count — recompiles for ~20 s each time), and all chunks are
+        dispatched before any result is fetched so transfers and decode
+        pipeline instead of paying a sync per chunk."""
+        n = points.shape[0]
+        if n == 0:
+            return np.zeros((0,) + (() if out_slice == -1 else (3,)), np.float32)
+        bs = self.points_batch_size
+        futures = []
+        for i in range(0, n, bs):
+            p = points[i : i + bs]
+            if p.shape[0] < bs:
+                p = np.concatenate(
+                    [p, np.zeros((bs - p.shape[0], 3), np.float32)]
+                )
+            futures.append(
+                self._eval_jit(decoders, grids, jnp.asarray(p), stage)
+            )
+        outs = [
+            np.asarray(r[:, -1] if out_slice == -1 else r[:, :3])
+            for r in futures
+        ]
+        return np.concatenate(outs)[:n]
+
+    @property
+    def _eval_jit(self):
+        import functools
+        import jax
+
+        if not hasattr(self, "_eval_fn"):
+            settings = self.settings
+            bound = self.bound
+
+            @functools.partial(jax.jit, static_argnames=("stage",))
+            def fn(decoders, grids, p, stage):
+                return eval_points(decoders, grids, p, bound, stage, settings)
+
+            self._eval_fn = fn
+        return self._eval_fn
 
     def eval_occ(self, points: np.ndarray, grids, decoders, stage: str) -> np.ndarray:
-        """Chunked occupancy query on device (reference eval_points semantics
-        incl. out-of-bound +100)."""
-        outs = []
-        for i in range(0, points.shape[0], self.points_batch_size):
-            p = jnp.asarray(points[i : i + self.points_batch_size])
-            raw = eval_points(decoders, grids, p, self.bound, stage, self.settings)
-            outs.append(np.asarray(raw[:, -1]))
-        return np.concatenate(outs) if outs else np.zeros((0,), np.float32)
+        return self._eval_chunks(points, grids, decoders, stage, out_slice=-1)
+
+    # -- device-side masked occupancy sweep (the non-forecast fast path) ----
+
+    @property
+    def _sweep_jit(self):
+        """Per-chunk jit that generates its slice of the query LATTICE on
+        device, decodes occupancy, and applies the convex-hull inside test as
+        one [bs, F] matmul — so the 256^3 sweep ships NO points over the
+        (slow) host link and the hull test rides the MXU instead of a
+        quadratic host loop. Hull planes are padded to a fixed bucket with
+        always-satisfied dummies so one executable serves every mesh."""
+        import functools
+        import jax
+
+        if not hasattr(self, "_sweep_fn"):
+            settings = self.settings
+            bound = self.bound
+            bs = self.points_batch_size
+
+            @functools.partial(jax.jit, static_argnames=("stage", "nx", "nz"))
+            def fn(decoders, grids, eq, x, y, z, start, stage, nx, nz):
+                flat = start + jnp.arange(bs)
+                iy = flat // (nx * nz)
+                ix = (flat // nz) % nx
+                iz = flat % nz
+                p = jnp.stack([x[ix], y[iy], z[iz]], axis=-1)
+                raw = eval_points(decoders, grids, p, bound, stage, settings)
+                d = p @ eq[:, :3].T + eq[:, 3]
+                inside = jnp.all(d <= 1e-9, axis=1)
+                return jnp.where(inside, raw[:, -1], 100.0)
+
+            self._sweep_fn = fn
+        return self._sweep_fn
+
+    def masked_occ_sweep(self, xyz, hull: ConvexHullRegion, grids, decoders,
+                         stage: str = "fine") -> np.ndarray:
+        """Occupancy over the full lattice with out-of-hull set to +100
+        (the reference's mesh_bound mask, src/utils/Mesher.py:417-427)."""
+        x, y, z = (np.asarray(a, np.float32) for a in xyz)
+        nx, ny, nz = len(x), len(y), len(z)
+        n = nx * ny * nz
+        bs = self.points_batch_size
+        eq = hull.equations.astype(np.float32)
+        f_bucket = -(-len(eq) // 512) * 512
+        pad = np.zeros((f_bucket - len(eq), 4), np.float32)
+        pad[:, 3] = -1.0  # 0 . p - 1 <= 0: always satisfied
+        eq = jnp.asarray(np.concatenate([eq, pad]))
+        xj, yj, zj = jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)
+        futures = [
+            self._sweep_jit(decoders, grids, eq, xj, yj, zj,
+                            jnp.asarray(i, jnp.int32), stage, nx, nz)
+            for i in range(0, n, bs)
+        ]
+        out = np.concatenate([np.asarray(f) for f in futures])[:n]
+        return out
 
     def eval_rgb(self, points: np.ndarray, grids, decoders) -> np.ndarray:
-        outs = []
-        for i in range(0, points.shape[0], self.points_batch_size):
-            p = jnp.asarray(points[i : i + self.points_batch_size])
-            raw = eval_points(decoders, grids, p, self.bound, "color", self.settings)
-            outs.append(np.asarray(raw[:, :3]))
-        return np.concatenate(outs) if outs else np.zeros((0, 3), np.float32)
+        return self._eval_chunks(points, grids, decoders, "color", out_slice=3)
 
     # ------------------------------------------------------------------
 
@@ -196,9 +295,9 @@ class Mesher:
         (reference get_mesh, src/utils/Mesher.py:349-574)."""
         clean_mesh = self.clean if clean_mesh is None else clean_mesh
         grid = self.get_grid_uniform(self.resolution)
-        points = grid["grid_points"]
 
         if show_forecast:
+            points = self.lattice_points(grid["xyz"])
             seen_m, forecast_m, unseen_m = self.point_masks(
                 points, keyframe_dict, estimate_c2w_list, idx,
                 get_mask_use_all_frames=get_mask_use_all_frames,
@@ -212,9 +311,7 @@ class Mesher:
                 )
         else:
             mesh_bound = self.get_bound_from_frames(keyframe_dict, self.scale)
-            mask = mesh_bound.contains(points)
-            z = self.eval_occ(points, grids, decoders, "fine")
-            z[~mask] = 100.0
+            z = self.masked_occ_sweep(grid["xyz"], mesh_bound, grids, decoders)
 
         x, y, zax = grid["xyz"]
         volume = z.reshape(len(y), len(x), len(zax)).transpose(1, 0, 2)
@@ -241,20 +338,21 @@ class Mesher:
                 face_unseen = (~seen_m)[mesh.faces].all(axis=1)
                 mesh.update_faces(~face_unseen)
 
-            components = mesh.split()
-            if components:
+            labels, ncomp = mesh.face_components()
+            if ncomp:
+                comp_area = np.bincount(
+                    labels, weights=mesh.face_areas, minlength=ncomp
+                )
                 if self.get_largest_components:
-                    areas = np.array([c.area for c in components])
-                    mesh = components[int(areas.argmax())]
+                    keep_faces = labels == int(comp_area.argmax())
                 else:
-                    keep = [
-                        c
-                        for c in components
-                        if c.area
-                        > self.remove_small_geometry_threshold * self.scale * self.scale
-                    ]
-                    if keep:
-                        mesh = concatenate(keep)
+                    good = comp_area > (
+                        self.remove_small_geometry_threshold
+                        * self.scale * self.scale
+                    )
+                    keep_faces = good[labels]
+                if keep_faces.any():
+                    mesh.update_faces(keep_faces)
 
         vertex_colors = None
         if color and len(mesh.vertices):

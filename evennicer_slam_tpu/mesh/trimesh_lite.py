@@ -58,11 +58,13 @@ class Mesh:
             self.vertex_colors = self.vertex_colors[used]
         self.faces = remap[self.faces]
 
-    def split(self) -> List["Mesh"]:
-        """Connected components by shared edges (trimesh.split
-        only_watertight=False semantics)."""
+    def face_components(self):
+        """(labels [F], ncomp): connected components over shared edges.
+        Label-based so area filtering never materializes per-component
+        meshes — a 256^3 early-map surface can have thousands of noise
+        components, and building each as a full Mesh is minutes of work."""
         if len(self.faces) == 0:
-            return []
+            return np.zeros((0,), np.int64), 0
         edges = np.concatenate(
             [self.faces[:, [0, 1]], self.faces[:, [1, 2]], self.faces[:, [2, 0]]]
         )
@@ -81,12 +83,31 @@ class Mesh:
             (np.ones(len(fa)), (fa, fb)), shape=(n, n)
         )
         ncomp, labels = _cc(graph, directed=False)
+        return labels, ncomp
+
+    def split(self) -> List["Mesh"]:
+        """Connected components by shared edges (trimesh.split
+        only_watertight=False semantics)."""
+        labels, ncomp = self.face_components()
+        if ncomp == 0:
+            return []
+        order = np.argsort(labels, kind="stable")
+        sorted_faces = self.faces[order]
+        counts = np.bincount(labels, minlength=ncomp)
         out = []
+        start = 0
         for c in range(ncomp):
-            m = Mesh(self.vertices.copy(), self.faces[labels == c],
-                     None if self.vertex_colors is None else self.vertex_colors.copy())
-            m._drop_unreferenced()
-            out.append(m)
+            f = sorted_faces[start : start + counts[c]]
+            start += counts[c]
+            used = np.unique(f)
+            out.append(
+                Mesh(
+                    self.vertices[used],
+                    np.searchsorted(used, f),
+                    None if self.vertex_colors is None
+                    else self.vertex_colors[used],
+                )
+            )
         return out
 
     def sample_surface(self, n: int, rng=None) -> np.ndarray:
@@ -239,10 +260,18 @@ class ConvexHullRegion:
         self.equations = self.hull.equations  # [F, 4] (normal, offset)
 
     def contains(self, pts: np.ndarray, tol: float = 1e-9) -> np.ndarray:
-        pts = np.asarray(pts, np.float64)
-        return np.all(
-            pts @ self.equations[:, :3].T + self.equations[:, 3] <= tol, axis=1
-        )
+        """Chunked half-space test. A hull of back-projected depth maps can
+        have thousands of facets; an unchunked [N, F] distance matrix at the
+        mesher's 256^3 query size would be hundreds of GB."""
+        pts = np.asarray(pts, np.float32)
+        eq = self.equations.astype(np.float32)
+        n = len(pts)
+        out = np.empty(n, bool)
+        chunk = max(1, (1 << 26) // max(1, len(eq)))  # ~256 MB working set
+        for i in range(0, n, chunk):
+            d = pts[i : i + chunk] @ eq[:, :3].T + eq[:, 3]
+            out[i : i + chunk] = np.all(d <= tol, axis=1)
+        return out
 
     def as_mesh(self) -> Mesh:
         return Mesh(self.hull.points, self.hull.simplices)

@@ -354,7 +354,9 @@ class EvenNICERSLAM:
         # the current frame between chunks
         vis_cb = None
         vis_inside = 0
-        if self.cfg.get("enable_vis", True):
+        # reference disables mapping visualization entirely for Demo runs
+        # (src/Mapper.py:99,492)
+        if self.cfg.get("enable_vis", True) and "Demo" not in self.output:
             mvis = self._get_vis("mapping")
             if mvis.should_vis(idx, 0):
                 vis_inside = mvis.inside_freq
@@ -511,8 +513,11 @@ class EvenNICERSLAM:
         for idx in range(start_frame, n):
             mapped = self.step(idx)
             if self.verbose:
+                # dispatch-side times: device work is enqueued asynchronously,
+                # so these measure host time spent issuing each phase
                 print(f"[enslam] frame {idx}/{n} "
-                      f"track={self.timings['track']:.1f}s map={self.timings['map']:.1f}s")
+                      f"track_dispatch={self.timings['track']:.1f}s "
+                      f"map_dispatch={self.timings['map']:.1f}s")
             if mapped and checkpoint and idx > 0 and idx % ckpt_freq == 0:
                 self.logger.log(self, idx)
             if mapped and mesh and idx > 0 and idx % mesh_freq == 0 and idx != n - 1:
