@@ -49,20 +49,30 @@ def _upload(frame) -> Tuple:
     )
 
 
+_expand_jit = None
+
+
 def expand_device_frame(dev) -> Tuple:
     """Main-thread expansion of a compact device frame -> f32 triple."""
-    import jax
-    import jax.numpy as jnp
-
     color, depth, event, exact = dev
     if not exact:
         return color, depth, event
 
-    @jax.jit
-    def _expand(color_u8, event_u8):
-        return color_u8.astype(jnp.float32) / 255.0, event_u8.astype(jnp.float32)
+    global _expand_jit
+    if _expand_jit is None:
+        import jax
+        import jax.numpy as jnp
 
-    color_f, event_f = _expand(color, event)
+        @jax.jit
+        def _expand(color_u8, event_u8):
+            return (
+                color_u8.astype(jnp.float32) / 255.0,
+                event_u8.astype(jnp.float32),
+            )
+
+        _expand_jit = _expand
+
+    color_f, event_f = _expand_jit(color, event)
     return color_f, depth, event_f
 
 

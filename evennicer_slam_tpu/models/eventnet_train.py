@@ -17,7 +17,6 @@ either torch ``.pth`` (converted) or these ``.npz`` weights.
 
 from __future__ import annotations
 
-import os
 from typing import Dict, Tuple
 
 import jax

@@ -50,6 +50,9 @@ def main():
     parser.add_argument("--events", action="store_true")
     parser.add_argument("--scene", default="/tmp/enslam_validate")
     parser.add_argument("--n_imgs_2d", type=int, default=50)
+    parser.add_argument("--traj_step", type=float, default=None,
+                        help="per-frame orbit angle; default sweeps one full"
+                             " orbit over the sequence (room coverage)")
     args = parser.parse_args()
 
     from evennicer_slam_tpu.utils.runtime import setup_jax
@@ -70,9 +73,10 @@ def main():
 
     H, W = args.hw
     bound = np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32)
+    step = args.traj_step or 2.0 * np.pi / args.frames
     frag = make_synthetic_replica(
         args.scene, n_frames=args.frames, H=H, W=W, fx=0.5 * W, fy=0.5 * W,
-        bound=bound, traj_step=0.012,
+        bound=bound, traj_step=step,
     )
     cfg = load_config(default_config_path(nice=True))
     update_recursive(cfg, frag)
@@ -110,6 +114,24 @@ def main():
     gt_mesh = box_room_mesh(bound)
     gt_path = os.path.join(args.scene, "gt_mesh.ply")
     gt_mesh.export(gt_path)
+    # unseen-region point cloud in the reference's data layout
+    # ({gt}_pc_unseen.npy next to the GT mesh): GT surface points never
+    # inside any frame's frustum; the 2D metric auto-loads it and rejects
+    # views that see unreconstructable area
+    gt_pts = gt_mesh.sample_surface(100000, np.random.default_rng(3))
+    seen = np.zeros(len(gt_pts), bool)
+    from evennicer_slam_tpu.slam.keyframes import _project
+
+    for i in range(0, args.frames):
+        w2c = np.linalg.inv(gt[i].astype(np.float64))
+        uv, z, _ = _project(gt_pts, w2c, slam.cam)
+        seen |= (
+            (uv[:, 0] > 0) & (uv[:, 0] < slam.cam.W)
+            & (uv[:, 1] > 0) & (uv[:, 1] < slam.cam.H) & (z < 0)
+        )
+    unseen_pc = gt_pts[~seen]
+    np.save(gt_path.replace(".ply", "_pc_unseen.npy"), unseen_pc)
+    print(json.dumps({"gt_surface_seen_frac": float(seen.mean())}), flush=True)
 
     m3 = calc_3d_metric(rec_path, gt_path)
     print(json.dumps({"recon_3d": m3}), flush=True)
