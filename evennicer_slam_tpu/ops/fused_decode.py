@@ -1,15 +1,19 @@
-"""Pallas TPU kernel: fused color-stage NICE decode for tracking.
+"""Pallas TPU kernel: fused color-stage NICE decode for tracking (opt-in).
 
-Why this exists. The tracking hot loop decodes ~880k ray samples per
-iteration through three width-32 MLPs (reference NICE.forward,
-src/conv_onet/models/decoder.py:312-342). Expressed as XLA ops, every
-intermediate activation is an [N, 32] HBM array padded to 128 lanes — the
-decode is bound on ~4x-padded activation bandwidth plus a layout copy of the
-gathered feature rows, ~45 ms of a 52 ms tracking iteration on a v5e chip.
-This kernel runs the ENTIRE decode (trilinear corner reduction +
+The tracking hot loop decodes ~880k ray samples per iteration through three
+width-32 MLPs (reference NICE.forward, src/conv_onet/models/decoder.py:
+312-342), ~45 ms of a 52 ms tracking iteration on a v5e chip. This kernel
+runs the ENTIRE decode (trilinear corner reduction + block-diagonal-batched
 middle/fine/color MLPs) on VMEM-resident tiles in transposed ``[C, T]``
-orientation (lane dim = points, fully utilized), so no activation ever
-touches HBM.
+orientation, so no activation ever touches HBM.
+
+Measured outcome (see models/decoders.pallas_decode_enabled and
+ARCHITECTURE.md): the XLA path was already near the cost floor — the decode
+is the MLP math itself at M=32 MXU utilization, not (as round-1 profiling
+suggested) a gather-layout copy — so this kernel wins slightly on the
+forward (19 vs ~21 ms) and loses on the backward (~30 vs ~23 ms, re-paying
+the fourier sin/cos in its in-VMEM recompute). It ships opt-in
+(ENSLAM_PALLAS=1) with full parity tests; the production default stays XLA.
 
 Gradients: tracking optimizes the pose only — grids and decoder weights are
 frozen snapshots (reference src/Tracker.py:248-260 deep-copies them per

@@ -50,9 +50,13 @@ def main():
     parser.add_argument("--events", action="store_true")
     parser.add_argument("--scene", default="/tmp/enslam_validate")
     parser.add_argument("--n_imgs_2d", type=int, default=50)
-    parser.add_argument("--traj_step", type=float, default=None,
-                        help="per-frame orbit angle; default sweeps one full"
-                             " orbit over the sequence (room coverage)")
+    parser.add_argument(
+        "--traj_step", type=float, default=0.008,
+        help="per-frame orbit angle (rad). The default matches the reference"
+             " workload's ~0.3-0.5 deg/frame camera speed; sweeping a full"
+             " orbit in few frames starves mapping per region (measured:"
+             " 2.4 deg/frame -> 0.2 m ATE)",
+    )
     args = parser.parse_args()
 
     from evennicer_slam_tpu.utils.runtime import setup_jax
@@ -73,7 +77,7 @@ def main():
 
     H, W = args.hw
     bound = np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32)
-    step = args.traj_step or 2.0 * np.pi / args.frames
+    step = args.traj_step
     frag = make_synthetic_replica(
         args.scene, n_frames=args.frames, H=H, W=W, fx=0.5 * W, fy=0.5 * W,
         bound=bound, traj_step=step,
@@ -135,6 +139,22 @@ def main():
 
     m3 = calc_3d_metric(rec_path, gt_path)
     print(json.dumps({"recon_3d": m3}), flush=True)
+    # coverage-aware completion (extension): nearest-reconstruction distance
+    # over OBSERVED GT surface only — completion against the full GT mesh
+    # conflates reconstruction quality with trajectory coverage
+    from evennicer_slam_tpu.mesh.trimesh_lite import Mesh as _Mesh
+    from evennicer_slam_tpu.tools.eval_recon import nn_distances
+
+    rec_pts = _Mesh.load(rec_path).sample_surface(
+        200000, np.random.default_rng(4))
+    seen_pts = gt_pts[seen]
+    d = nn_distances(seen_pts, rec_pts)
+    print(json.dumps({
+        "recon_3d_seen_only": {
+            "completion_seen (cm)": float(d.mean() * 100),
+            "completion_ratio_seen (<5cm %)": float((d < 0.05).mean() * 100),
+        }
+    }), flush=True)
     m2 = calc_2d_metric(rec_path, gt_path, n_imgs=args.n_imgs_2d)
     print(json.dumps({"recon_2d": m2}), flush=True)
 
