@@ -98,9 +98,13 @@ class PrefetchingReader:
         except Exception:
             return
         with self._lock:
-            self._cache = {idx: (frame, dev)}
+            # merge: a random host-side access must not clobber the SLAM
+            # loop's already-uploaded next frame
+            self._cache[idx] = (frame, dev)
+            for k in [k for k in self._cache if k < idx - 1]:
+                self._cache.pop(k)
 
-    def _fetch(self, idx: int):
+    def _fetch(self, idx: int, need_device: bool):
         if self._thread is not None:
             self._thread.join()
             self._thread = None
@@ -108,9 +112,12 @@ class PrefetchingReader:
             entry = self._cache.pop(idx, None)
         if entry is None:
             frame = self._reader[idx]
-            entry = (frame, _upload(frame) if self._upload else None)
+            # upload only when the caller wants device arrays: plain host
+            # reads (training tools, resume, eval) must not pay a ~6-8 MB
+            # device_put over the slow link
+            entry = (frame, _upload(frame) if need_device else None)
         nxt = idx + 1
-        if nxt < len(self._reader):
+        if need_device and nxt < len(self._reader):
             self._thread = threading.Thread(
                 target=self._prefetch, args=(nxt,), daemon=True
             )
@@ -118,11 +125,11 @@ class PrefetchingReader:
         return entry
 
     def __getitem__(self, idx: int):
-        return self._fetch(idx)[0]
+        return self._fetch(idx, need_device=False)[0]
 
     def get_with_device(self, idx: int):
         """(host Frame, (color, depth, event) device f32 triple)."""
-        frame, dev = self._fetch(idx)
+        frame, dev = self._fetch(idx, need_device=self._upload)
         if dev is None:
             dev = _upload(frame)
         return frame, expand_device_frame(dev)

@@ -224,9 +224,10 @@ def _tracking_loss(
             loss_event = jnp.sum((gt_event_lo - pred_event) ** 2)
         loss_event = loss_event * cfg.balancer
         aux["event"] = loss_event
-        if cfg.activate_events is True or (
-            cfg.activate_events == "non_rgbd" and not rgbd
-        ):
+        if cfg.activate_events == "non_rgbd":
+            if not rgbd:
+                total = total + loss_event
+        elif cfg.activate_events:
             total = total + loss_event
 
     return total, aux

@@ -161,8 +161,11 @@ def calc_2d_metric(
     H = W = 500
     focal = 300.0
     fx = fy = focal
-    cx = H / 2.0 - 0.5
-    cy = W / 2.0 - 0.5
+    # the reference writes cx = H/2, cy = W/2 (eval_recon.py:139-140) — a
+    # latent swap that is value-identical at its square 500x500 resolution;
+    # written correctly here
+    cx = W / 2.0 - 0.5
+    cy = H / 2.0 - 0.5
     rng = np.random.default_rng(seed)
 
     rec = Mesh.load(rec_path)

@@ -106,7 +106,7 @@ class CheckpointLogger:
             with open(kf_path, "rb") as f:
                 kf = pickle.load(f)
             slam.mapper.keyframes.frames = kf["keyframes"]
-            slam.mapper.selected_keyframes = kf.get("selected_keyframes") or []
+            slam.mapper.selected_keyframes = kf.get("selected_keyframes") or {}
             if slam.coarse_mapper is not None:
                 slam.coarse_mapper.keyframes = slam.mapper.keyframes
         slam.idx = idx

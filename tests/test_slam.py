@@ -93,7 +93,9 @@ class TestPipeline:
         assert np.isfinite(est[:3]).all()
 
     def test_checkpoint_resume(self, tmp_path):
-        cfg = tiny_cfg(tmp_path)
+        cfg = tiny_cfg(
+            tmp_path, mapping={"save_selected_keyframes_info": True}
+        )
         slam = EvenNICERSLAM(cfg, nice=True)
         for idx in range(3):
             slam.step(idx)
@@ -114,6 +116,9 @@ class TestPipeline:
         assert slam2.tracker.pre_gt_color is not None
         assert slam2.pre_gt_color_mapper is not None
         assert slam2.mapper.keyframes.indices == slam.mapper.keyframes.indices
+        # selected_keyframes restores as a dict (the mapper appends by frame
+        # index; a list fallback crashed the resumed save_selected path)
+        assert isinstance(slam2.mapper.selected_keyframes, dict)
 
         # resumed run goes through run() and produces the SAME artifact set
         # as an uninterrupted run: final mesh + final checkpoint
