@@ -78,3 +78,24 @@ def default_config_path(nice: bool = True) -> str:
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     name = "nice_slam.yaml" if nice else "imap.yaml"
     return os.path.join(here, "configs", name)
+
+
+def get_model(cfg, nice: bool = True):
+    """Decoder-model dispatch (reference src/config.py:62-79 +
+    src/conv_onet/config.py:4-33; the single registered method is
+    'conv_onet'). Returns the decoder parameter pytree."""
+    from evennicer_slam_tpu.models.decoders import (
+        init_imap_decoder,
+        init_nice_decoders,
+    )
+
+    import jax
+
+    key = jax.random.PRNGKey(cfg.get("seed", 42))
+    pe = cfg["model"].get("pos_embedding_method", "fourier")
+    if nice:
+        return init_nice_decoders(
+            key, c_dim=cfg["model"]["c_dim"], coarse=cfg.get("coarse", False),
+            pos_embedding_method=pe,
+        )
+    return init_imap_decoder(key, pos_embedding_method=pe)

@@ -97,6 +97,16 @@ class Visualizer:
         path = os.path.join(self.vis_dir, f"{idx:05d}_{it:04d}.jpg")
         fig.savefig(path, dpi=80)
         plt.close(fig)
+        # panel upload to an active wandb run (reference Visualizer logs
+        # per-stage images, src/utils/Visualizer.py:180-213)
+        try:
+            import wandb
+
+            if wandb.run is not None:
+                tag = os.path.basename(self.vis_dir)
+                wandb.log({f"{tag}/panel": wandb.Image(path)})
+        except Exception:
+            pass
         if self.verbose:
             print("Saved visualization at", path)
         return path
