@@ -80,10 +80,11 @@ def default_config_path(nice: bool = True) -> str:
     return os.path.join(here, "configs", name)
 
 
-def get_model(cfg, nice: bool = True):
+def get_model(cfg, nice: bool = True, key=None):
     """Decoder-model dispatch (reference src/config.py:62-79 +
     src/conv_onet/config.py:4-33; the single registered method is
-    'conv_onet'). Returns the decoder parameter pytree."""
+    'conv_onet'). Returns the decoder parameter pytree. This is THE decoder
+    init used by the pipeline (pass its PRNG key for identical weights)."""
     from evennicer_slam_tpu.models.decoders import (
         init_imap_decoder,
         init_nice_decoders,
@@ -91,7 +92,11 @@ def get_model(cfg, nice: bool = True):
 
     import jax
 
-    key = jax.random.PRNGKey(cfg.get("seed", 42))
+    if key is None:
+        # the pipeline derives the decoder key as split(PRNGKey(seed), 3)[1]
+        key = jax.random.split(
+            jax.random.PRNGKey(cfg.get("seed", 42)), 3
+        )[1]
     pe = cfg["model"].get("pos_embedding_method", "fourier")
     if nice:
         return init_nice_decoders(

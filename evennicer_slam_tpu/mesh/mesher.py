@@ -151,8 +151,14 @@ class Mesher:
                 iz = flat % nz
                 p = jnp.stack([x[ix], y[iy], z[iz]], axis=-1)
                 raw = eval_points(decoders, grids, p, bound, stage, settings)
-                d = p @ eq[:, :3].T + eq[:, 3]
-                inside = jnp.all(d <= 1e-9, axis=1)
+                # plane blocks bound the [bs, planes] distance matrix to
+                # ~256 MB even for many-facet hulls (back-projected depth
+                # hulls can reach thousands of facets)
+                inside = jnp.ones((bs,), bool)
+                for j in range(0, eq.shape[0], 128):
+                    eqb = eq[j : j + 128]
+                    d = p @ eqb[:, :3].T + eqb[:, 3]
+                    inside = inside & jnp.all(d <= 1e-9, axis=1)
                 return jnp.where(inside, raw[:, -1], 100.0)
 
             self._sweep_fn = fn

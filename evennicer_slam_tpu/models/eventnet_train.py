@@ -186,6 +186,14 @@ def map_domain_pairs(
     import copy
 
     cfg = copy.deepcopy(cfg)
+    if gt_render_fn is not None and (
+        cfg["cam"].get("crop_edge", 0) or cfg.get("scale", 1.0) != 1.0
+        or cfg["cam"].get("crop_size")
+    ):
+        raise ValueError(
+            "perturbed-pose triples assume uncropped/unscaled frames at the "
+            "cam resolution (gt_render_fn renders raw [H, W])"
+        )
     cfg.setdefault("tracking", {})["gt_camera"] = True
     cfg["enable_vis"] = False
     slam = EvenNICERSLAM(cfg, nice=True)

@@ -36,10 +36,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from evennicer_slam_tpu.data.datasets import get_dataset
-from evennicer_slam_tpu.models.decoders import (
-    init_imap_decoder,
-    init_nice_decoders,
-)
 from evennicer_slam_tpu.models.eventnet import init_eventnet, load_eventnet_torch
 from evennicer_slam_tpu.models.grids import init_grids
 from evennicer_slam_tpu.models.pretrained import load_pretrained_decoders
@@ -89,16 +85,15 @@ class EvenNICERSLAM:
         key = jax.random.PRNGKey(cfg.get("seed", 42))
         k_grid, k_dec, k_ev = jax.random.split(key, 3)
 
+        from evennicer_slam_tpu.config import get_model
+
         if nice:
             self.grids = init_grids(
                 k_grid, self.bound, cfg["grid_len"], cfg["model"]["c_dim"],
                 self.coarse, cfg["model"]["coarse_bound_enlarge"],
             )
-            self.decoders = init_nice_decoders(
-                k_dec, c_dim=cfg["model"]["c_dim"], coarse=self.coarse,
-                pos_embedding_method=cfg["model"].get(
-                    "pos_embedding_method", "fourier"
-                ),
+            self.decoders = get_model(
+                dict(cfg, coarse=self.coarse), nice=True, key=k_dec
             )
             pre = cfg.get("pretrained_decoders", {})
             mf = pre.get("middle_fine")
@@ -109,12 +104,7 @@ class EvenNICERSLAM:
                 )
         else:
             self.grids = {}
-            self.decoders = init_imap_decoder(
-                k_dec,
-                pos_embedding_method=cfg["model"].get(
-                    "pos_embedding_method", "fourier"
-                ),
-            )
+            self.decoders = get_model(cfg, nice=False, key=k_dec)
 
         # dataset + event mode (frames prefetched on a worker thread)
         from evennicer_slam_tpu.data.prefetch import PrefetchingReader
@@ -140,6 +130,15 @@ class EvenNICERSLAM:
                 else:
                     self.eventnet = load_eventnet_torch(path)
             else:
+                if path:
+                    import sys
+
+                    print(
+                        f"[enslam] WARNING: event.pretrained_path {path!r} "
+                        "not found - EventNet runs from RANDOM init "
+                        "(throughput unaffected; quality meaningless)",
+                        file=sys.stderr,
+                    )
                 self.eventnet = init_eventnet(k_ev)
 
         # engines

@@ -50,6 +50,17 @@ from evennicer_slam_tpu.slam.camera import Camera
 from evennicer_slam_tpu.utils.optim import adam_init, adam_update
 
 
+def _check_activate_events(value):
+    """true | false | 'non_rgbd'; anything else (e.g. a typo'd string,
+    which would silently fall into the truthy always-on branch) raises."""
+    if value in (True, False, 0, 1, "non_rgbd"):
+        return bool(value) if value in (0, 1) else value
+    raise ValueError(
+        f"event.activate_events must be true, false, or 'non_rgbd'; "
+        f"got {value!r}"
+    )
+
+
 class TrackerConfig(NamedTuple):
     pixels: int = 200
     iters: int = 10
@@ -100,7 +111,9 @@ class TrackerConfig(NamedTuple):
             gt_camera=t["gt_camera"],
             rgbd_every_frame=e.get("rgbd_every_frame", 1),
             use_events=use_events,
-            activate_events=e.get("activate_events", False),
+            activate_events=_check_activate_events(
+                e.get("activate_events", False)
+            ),
             balancer=e.get("balancer", 0.025),
             scale_factor=e.get("scale_factor", 0.15),
             blur=e.get("blur", True),

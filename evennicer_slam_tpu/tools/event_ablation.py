@@ -212,14 +212,17 @@ def _report_event_variants(cfg, net_md, args, results):
         "ate_rmse_m": results["events_non_rgbd_only"],
     }), flush=True)
 
+    dr = results.get("dead_reckoning", float("inf"))
     best_ev = min(results["events_map_domain"],
                   results["events_non_rgbd_only"],
                   results["events_map_domain_rgbd_criterion"])
-    print(_json.dumps({"summary": results,
-                       "events_beat_dead_reckoning":
-                       bool(best_ev < results.get("dead_reckoning",
-                                                  float("inf")))}),
-          flush=True)
+    print(_json.dumps({
+        "summary": results,
+        # reference behavior (variant C) vs any mode incl. the extensions
+        "events_beat_dead_reckoning_reference":
+            bool(results["events_map_domain"] < dr),
+        "events_beat_dead_reckoning_any_mode": bool(best_ev < dr),
+    }), flush=True)
 
 
 if __name__ == "__main__":

@@ -82,8 +82,14 @@ def main():
     event_file = args.event or f"{stem}_event.png"
     binary_file = args.binary or f"{stem}_binary.png"
 
-    img1 = cv2.cvtColor(cv2.imread(args.input1), cv2.COLOR_BGR2RGB)
-    img2 = cv2.cvtColor(cv2.imread(args.input2), cv2.COLOR_BGR2RGB)
+    raw1 = cv2.imread(args.input1)
+    raw2 = cv2.imread(args.input2)
+    if raw1 is None:
+        raise SystemExit(f"cannot read image {args.input1}")
+    if raw2 is None:
+        raise SystemExit(f"cannot read image {args.input2}")
+    img1 = cv2.cvtColor(raw1, cv2.COLOR_BGR2RGB)
+    img2 = cv2.cvtColor(raw2, cv2.COLOR_BGR2RGB)
     model = load_model(args.model)
     event, binary = predict(model, img1, img2, args.scale, args.mask_threshold)
 

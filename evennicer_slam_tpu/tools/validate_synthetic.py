@@ -87,13 +87,18 @@ def main():
     overrides = {
         "verbose": False,
         "enable_vis": True,
-        "mapping": {"ckpt_freq": args.frames // 2, "mesh_freq": 50},
+        "mapping": {"ckpt_freq": max(1, args.frames // 2), "mesh_freq": 50},
         "meshing": {"eval_rec": True},
         "data": {"output": os.path.join(args.scene, "out")},
     }
     if args.events:
+        net_path = os.path.abspath("pretrained/eventnet_mapdomain.npz")
+        assert os.path.exists(net_path), (
+            f"--events needs a trained EventNet at {net_path} "
+            "(produce one with tools/event_ablation.py)"
+        )
         overrides["event"] = {
-            "pretrained_path": "pretrained/eventnet_mapdomain.npz",
+            "pretrained_path": net_path,
             "rgbd_every_frame": 5, "activate_events": True, "balancer": 0.025,
             "scale_factor": 0.15, "blur": True, "kernel_sizes": [9],
             "unblurred_weight": 0, "kernel_weights": [1],
