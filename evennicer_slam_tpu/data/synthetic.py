@@ -41,6 +41,52 @@ def _wall_texture(u: np.ndarray, v: np.ndarray, face: int) -> np.ndarray:
     return np.clip(c, 0.0, 1.0)
 
 
+def scene_primitives(bound: np.ndarray):
+    """Interior furniture for the "furnished" scene variant: boxes and
+    spheres placed in room-relative coordinates (so any bound works) —
+    occluders at different heights, giving the validation scene clutter,
+    occlusion, and non-planar geometry (VERDICT r2 item 4)."""
+    lo = bound[:, 0].astype(np.float64)
+    e = (bound[:, 1] - bound[:, 0]).astype(np.float64)
+
+    def rel(p):
+        return lo + np.asarray(p, np.float64) * e
+
+    rmin = float(e.min())
+    return [
+        # table-like block mid-room
+        {"type": "box", "lo": rel([0.55, 0.30, 0.0]), "hi": rel([0.75, 0.50, 0.18]),
+         "color": np.array([0.78, 0.55, 0.30]), "pat": 7.0},
+        # tall cabinet against the -x wall (strong occluder)
+        {"type": "box", "lo": rel([0.05, 0.62, 0.0]), "hi": rel([0.18, 0.85, 0.55]),
+         "color": np.array([0.35, 0.45, 0.80]), "pat": 9.0},
+        # low sofa block along the -y wall
+        {"type": "box", "lo": rel([0.30, 0.05, 0.0]), "hi": rel([0.52, 0.20, 0.28]),
+         "color": np.array([0.70, 0.30, 0.55]), "pat": 5.0},
+        # ball on the floor
+        {"type": "sphere", "c": rel([0.35, 0.70, 0.10]), "r": 0.075 * rmin,
+         "color": np.array([0.90, 0.62, 0.20]), "pat": 11.0},
+        # floating lamp (mid-air occluder)
+        {"type": "sphere", "c": rel([0.50, 0.50, 0.75]), "r": 0.06 * rmin,
+         "color": np.array([0.30, 0.85, 0.75]), "pat": 13.0},
+    ]
+
+
+_LIGHT = np.array([0.40824829, 0.40824829, 0.81649658])  # fixed scene light
+
+
+def _prim_color(prim, hit: np.ndarray, normal: np.ndarray) -> np.ndarray:
+    """Procedural texture + Lambert shading for a primitive hit batch."""
+    p = prim["pat"]
+    tex = (
+        0.72
+        + 0.18 * np.sin(p * hit[:, 0]) * np.cos(p * hit[:, 1])
+        + 0.10 * np.sin(p * 1.7 * hit[:, 2])
+    )
+    lam = 0.55 + 0.45 * np.clip(normal @ _LIGHT, 0.0, 1.0)
+    return np.clip(prim["color"][None, :] * (tex * lam)[:, None], 0.0, 1.0)
+
+
 def render_box_views(
     c2w: np.ndarray,
     H: int,
@@ -50,8 +96,10 @@ def render_box_views(
     cx: float,
     cy: float,
     bound: np.ndarray,
+    prims=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Analytic render of the room interior from one pose.
+    """Analytic render of the room interior (plus optional interior
+    primitives) from one pose, with correct nearest-hit occlusion.
 
     Returns (color [H, W, 3] in [0,1], depth [H, W] in meters)."""
     j, i = np.meshgrid(np.arange(H, dtype=np.float32), np.arange(W, dtype=np.float32), indexing="ij")
@@ -64,17 +112,42 @@ def render_box_views(
     with np.errstate(divide="ignore", invalid="ignore"):
         t = (bound.T[None] - flat_o[:, None, :]) / flat_d[:, None, :]  # [N, 2, 3]
     t = np.where(np.isfinite(t), t, np.inf)
-    t_exit = np.min(np.max(t, axis=1), axis=1)  # exit distance per ray
-    hit = flat_o + t_exit[:, None] * flat_d
+    t_exit = np.min(np.max(t, axis=1), axis=1)  # room-wall exit per ray
+    N = flat_o.shape[0]
+    t_best = t_exit.copy()
+    hit_prim = np.full(N, -1, np.int32)
+
+    for pi, prim in enumerate(prims or ()):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if prim["type"] == "box":
+                t0 = (prim["lo"][None] - flat_o) / flat_d
+                t1 = (prim["hi"][None] - flat_o) / flat_d
+                tn = np.nanmax(np.minimum(t0, t1), axis=1)
+                tf = np.nanmin(np.maximum(t0, t1), axis=1)
+                tp = np.where((tf > tn) & (tn > 1e-4), tn, np.inf)
+            else:  # sphere
+                oc = flat_o - prim["c"][None]
+                b = np.sum(oc * flat_d, axis=1)
+                a = np.sum(flat_d * flat_d, axis=1)
+                c = np.sum(oc * oc, axis=1) - prim["r"] ** 2
+                disc = b * b - a * c
+                sq = np.sqrt(np.maximum(disc, 0.0))
+                tp = np.where(disc > 0, (-b - sq) / a, np.inf)
+                tp = np.where(tp > 1e-4, tp, np.inf)
+        closer = tp < t_best
+        t_best = np.where(closer, tp, t_best)
+        hit_prim = np.where(closer, pi, hit_prim)
+
+    hit = flat_o + t_best[:, None] * flat_d
     # pixel dirs have z_cam = -1, so the ray parameter t IS the z-depth —
     # exactly the quantity stored in Replica depth PNGs and consumed by the
     # renderer's depth-guided sampling.
-    depth = t_exit
+    depth = t_best
 
-    # texture lookup
+    colors = np.zeros((N, 3), np.float32)
+    # wall texture for rays that exit on the room box
     eps = 1e-4
-    colors = np.zeros((flat_o.shape[0], 3), np.float32)
-    assigned = np.zeros(flat_o.shape[0], bool)
+    assigned = hit_prim >= 0
     ext = bound[:, 1] - bound[:, 0]
     for axis in range(3):
         for side in range(2):
@@ -90,7 +163,73 @@ def render_box_views(
             v = (hit[m, other[1]] - bound[other[1], 0]) / ext[other[1]]
             colors[m] = _wall_texture(u, v, face)
 
+    for pi, prim in enumerate(prims or ()):
+        m = hit_prim == pi
+        if not np.any(m):
+            continue
+        ph = hit[m]
+        if prim["type"] == "box":
+            # face normal = axis of the slab the hit lies on
+            dlo = np.abs(ph - prim["lo"][None])
+            dhi = np.abs(ph - prim["hi"][None])
+            d6 = np.concatenate([dlo, dhi], axis=1)
+            k = np.argmin(d6, axis=1)
+            normal = np.zeros_like(ph)
+            normal[np.arange(len(ph)), k % 3] = np.where(k < 3, -1.0, 1.0)
+        else:
+            normal = ph - prim["c"][None]
+            normal /= np.linalg.norm(normal, axis=1, keepdims=True)
+        colors[m] = _prim_color(prim, ph, normal)
+
     return colors.reshape(H, W, 3), depth.reshape(H, W).astype(np.float32)
+
+
+def scene_gt_mesh(bound: np.ndarray, furnished: bool = False):
+    """Analytic ground-truth mesh of the synthetic scene (room interior +
+    furniture when ``furnished``) for the recon eval tools."""
+    from evennicer_slam_tpu.mesh.trimesh_lite import Mesh, concatenate
+
+    def box_mesh(lo, hi):
+        (x0, y0, z0), (x1, y1, z1) = lo, hi
+        v = np.array([
+            [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
+            [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1],
+        ])
+        quads = [
+            (0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
+            (2, 3, 7, 6), (0, 3, 7, 4), (1, 2, 6, 5),
+        ]
+        faces = []
+        for a, b, c, d in quads:
+            faces += [[a, b, c], [a, c, d]]
+        return Mesh(v, np.array(faces))
+
+    def sphere_mesh(c, r, n_lat=16, n_lon=24):
+        th = np.linspace(0, np.pi, n_lat)
+        ph = np.linspace(0, 2 * np.pi, n_lon, endpoint=False)
+        T, P = np.meshgrid(th, ph, indexing="ij")
+        v = np.stack([
+            c[0] + r * np.sin(T) * np.cos(P),
+            c[1] + r * np.sin(T) * np.sin(P),
+            c[2] + r * np.cos(T),
+        ], axis=-1).reshape(-1, 3)
+        faces = []
+        for a in range(n_lat - 1):
+            for b in range(n_lon):
+                b2 = (b + 1) % n_lon
+                i00, i01 = a * n_lon + b, a * n_lon + b2
+                i10, i11 = (a + 1) * n_lon + b, (a + 1) * n_lon + b2
+                faces += [[i00, i10, i11], [i00, i11, i01]]
+        return Mesh(v, np.array(faces))
+
+    meshes = [box_mesh(bound[:, 0], bound[:, 1])]
+    if furnished:
+        for prim in scene_primitives(bound):
+            if prim["type"] == "box":
+                meshes.append(box_mesh(prim["lo"], prim["hi"]))
+            else:
+                meshes.append(sphere_mesh(prim["c"], prim["r"]))
+    return concatenate(meshes)
 
 
 def _look_at(eye: np.ndarray, target: np.ndarray) -> np.ndarray:
@@ -123,11 +262,21 @@ def circular_trajectory(
     step: float = None,
     jitter: float = 0.0,
     jitter_seed: int = 7,
+    gaze_mult: float = 1.0,
+    pitch_base: float = -0.7,
+    pitch_amp: float = 0.25,
+    pitch_freq: float = 3.0,
 ) -> np.ndarray:
     """Smooth camera path inside the room: the eye orbits the center while the
     gaze pans along the walls (so views hit corners — varied depth gives
     tracking a full 6-DoF signal). ``step`` is the per-frame angle increment
     (radians); default sweeps a quarter turn over the sequence.
+
+    ``gaze_mult``/``pitch_*`` shape surface COVERAGE: the gaze pans at
+    ``gaze_mult`` x the eye's angular speed and the gaze target's height
+    swings ``pitch_base ± pitch_amp`` — the coverage trajectory
+    (validate_synthetic) uses a fast pan + tall pitch sweep to observe
+    floor, ceiling, and all four walls.
     Returns [n, 4, 4] c2w."""
     poses = []
     jr = np.random.default_rng(jitter_seed)
@@ -140,11 +289,12 @@ def circular_trajectory(
             # non-smooth motion: breaks constant-velocity extrapolation so
             # frame-to-frame supervision (events) has something to correct
             eye = eye + jr.normal(scale=jitter, size=3)
-        gaze = th + 0.6  # pan ahead of the eye position
+        gaze = th * gaze_mult + 0.6  # pan ahead of the eye position
         # pitch the gaze down toward the floor corner so depth varies along
         # the image v-axis too (full 6-DoF observability)
         target = center + np.array(
-            [2.0 * np.cos(gaze), 2.0 * np.sin(gaze), -0.7 + 0.25 * np.sin(3 * th)]
+            [2.0 * np.cos(gaze), 2.0 * np.sin(gaze),
+             pitch_base + pitch_amp * np.sin(pitch_freq * th)]
         )
         poses.append(_look_at(eye, target))
     return np.stack(poses)
@@ -161,6 +311,9 @@ def make_synthetic_replica(
     event_gain: float = 20.0,
     traj_step: float = None,
     traj_jitter: float = 0.0,
+    traj_seed: int = 7,
+    furnished: bool = False,
+    traj_kwargs: Optional[Dict] = None,
 ) -> Dict:
     """Write a Replica-format dataset (+ event folder) and return a config
     fragment describing it. Layout matches reference expectations:
@@ -183,12 +336,16 @@ def make_synthetic_replica(
         os.remove(stale)
 
     center = bound.mean(axis=1)
-    poses = circular_trajectory(n_frames, center, step=traj_step, jitter=traj_jitter)
+    poses = circular_trajectory(n_frames, center, step=traj_step,
+                                jitter=traj_jitter, jitter_seed=traj_seed,
+                                **(traj_kwargs or {}))
+    prims = scene_primitives(bound) if furnished else None
 
     traj_lines = []
     prev_intensity = None
     for k in range(n_frames):
-        color, depth = render_box_views(poses[k], H, W, fx, fy, cx, cy, bound)
+        color, depth = render_box_views(poses[k], H, W, fx, fy, cx, cy, bound,
+                                        prims=prims)
         cv2.imwrite(
             os.path.join(res, f"frame{k:06d}.png"),
             cv2.cvtColor((color * 255).astype(np.uint8), cv2.COLOR_RGB2BGR),

@@ -144,7 +144,7 @@ class Mesher:
             bs = self.points_batch_size
 
             @functools.partial(jax.jit, static_argnames=("stage", "nx", "nz"))
-            def fn(decoders, grids, eq, x, y, z, start, stage, nx, nz):
+            def fn(decoders, grids, eq, tol, x, y, z, start, stage, nx, nz):
                 flat = start + jnp.arange(bs)
                 iy = flat // (nx * nz)
                 ix = (flat // nz) % nx
@@ -158,7 +158,9 @@ class Mesher:
                 for j in range(0, eq.shape[0], 128):
                     eqb = eq[j : j + 128]
                     d = p @ eqb[:, :3].T + eqb[:, 3]
-                    inside = inside & jnp.all(d <= 1e-9, axis=1)
+                    # tol scales with hull extent: f32 half-space distances
+                    # at meter scale cannot resolve 1e-9
+                    inside = inside & jnp.all(d <= tol, axis=1)
                 return jnp.where(inside, raw[:, -1], 100.0)
 
             self._sweep_fn = fn
@@ -178,8 +180,9 @@ class Mesher:
         pad[:, 3] = -1.0  # 0 . p - 1 <= 0: always satisfied
         eq = jnp.asarray(np.concatenate([eq, pad]))
         xj, yj, zj = jnp.asarray(x), jnp.asarray(y), jnp.asarray(z)
+        tol = jnp.asarray(hull.tol, jnp.float32)
         futures = [
-            self._sweep_jit(decoders, grids, eq, xj, yj, zj,
+            self._sweep_jit(decoders, grids, eq, tol, xj, yj, zj,
                             jnp.asarray(i, jnp.int32), stage, nx, nz)
             for i in range(0, n, bs)
         ]

@@ -258,11 +258,18 @@ class ConvexHullRegion:
         else:
             self.hull = hull
         self.equations = self.hull.equations  # [F, 4] (normal, offset)
+        # half-space tests run in float32; a fixed 1e-9 tolerance is below
+        # f32 resolution at meter scale, so boundary points could flip
+        # inside/outside — scale the tolerance with the hull extent instead
+        extent = float(np.ptp(self.hull.points, axis=0).max())
+        self.tol = 1e-5 * max(extent, 1.0)
 
-    def contains(self, pts: np.ndarray, tol: float = 1e-9) -> np.ndarray:
+    def contains(self, pts: np.ndarray, tol: Optional[float] = None) -> np.ndarray:
         """Chunked half-space test. A hull of back-projected depth maps can
         have thousands of facets; an unchunked [N, F] distance matrix at the
         mesher's 256^3 query size would be hundreds of GB."""
+        if tol is None:
+            tol = self.tol
         pts = np.asarray(pts, np.float32)
         eq = self.equations.astype(np.float32)
         n = len(pts)

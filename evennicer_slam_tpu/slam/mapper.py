@@ -245,7 +245,8 @@ def _decoder_lr_tree(decoders, lrs: Dict[str, Any], cfg: MapperConfig, nice: boo
     jax.jit,
     static_argnames=(
         "cfg", "cam", "settings", "ba", "coarse_mapper", "pix_per_img",
-        "use_frustum", "stages", "use_events", "fix_color_now", "dp",
+        "use_frustum", "stages", "use_events", "fix_color_now", "fuse_coarse",
+        "pix_per_img_c", "dp",
     ),
 )
 def map_frame_jit(
@@ -269,6 +270,9 @@ def map_frame_jit(
     gt_depth_lo_flat,
     eventnet,
     event_balancer,
+    colors_c,          # coarse-window images (fuse_coarse; else aliased+unused)
+    depths_c,
+    fixed_c2w_c,
     cfg: MapperConfig,
     cam: Camera,
     settings: RenderSettings,
@@ -279,6 +283,8 @@ def map_frame_jit(
     stages: Tuple[str, ...],
     use_events: bool,
     fix_color_now: bool,
+    fuse_coarse: bool = False,
+    pix_per_img_c: int = 0,
     dp=None,
 ):
     """One full mapping call: sequential per-stage loops with dynamic lengths.
@@ -288,6 +294,18 @@ def map_frame_jit(
     can be split into chunks (per-inner-iteration visualization) and remain
     bitwise identical to the unchunked call: RNG keys and LR schedules are
     functions of the global iteration, and the optimizer state carries over.
+
+    ``fuse_coarse``: the reference runs the coarse mapper as a THIRD process
+    racing the fine mapper on shared state (src/EvenNICER_SLAM.py:313-332,
+    src/Mapper.py:83-85) — its loss reads only the coarse grid + coarse
+    decoder, which the middle/fine/color stages never touch, so the two
+    optimizations are mathematically independent. Here the coarse loss (its
+    own random keyframe window, depth-unguided rendering) is summed into
+    every staged iteration and the combined gradient is one Adam step:
+    because the parameter sets are disjoint, the moments/updates are
+    identical to two separate optimizers, but the coarse mapper's
+    ``num_iters`` iterations ride along for free — one executable, one
+    dispatch, half the per-iteration overhead of running it separately.
 
     Returns (grids, decoders, cam_tensors, adam, adam_ev, last_loss,
     last_event_loss)."""
@@ -302,6 +320,10 @@ def map_frame_jit(
             else {"decoders": cfg.imap_decoders_lr, "coarse": 0.0,
                   "middle": 0.0, "fine": 0.0, "color": 0.0}
         )
+        if fuse_coarse:
+            # the coarse grid trains at the coarse STAGE's lr throughout
+            # (it belongs to the fused coarse-mapper loss, not this stage)
+            lrs_host = dict(lrs_host, coarse=cfg.stage_lr_dict("coarse")["coarse"])
 
         def lr_tree_for(params, event_update: bool, it=None):
             grids_, decoders_, cams_ = params
@@ -311,6 +333,7 @@ def map_frame_jit(
             }
             if event_update:
                 g_lrs["color"] = jnp.zeros(())  # event optimizer excludes color grid
+                g_lrs["coarse"] = jnp.zeros(())  # and never touches coarse
             grid_tree = {
                 lvl: jax.tree.map(lambda _: g_lrs[lvl], grids_[lvl])
                 for lvl in grids_
@@ -328,10 +351,21 @@ def map_frame_jit(
             cam_tree = opt_cam_mask[:, None] * cam_lr
             return (grid_tree, dec_tree, cam_tree)
 
-        loss_fn = lambda p, key: _map_loss(
-            p, fixed_c2w, colors, depths, bound, key, cfg_now, cam, settings,
-            stage, ba, coarse_mapper, pix_per_img, dp,
-        )
+        def loss_fn(p, key):
+            loss = _map_loss(
+                p, fixed_c2w, colors, depths, bound, key, cfg_now, cam,
+                settings, stage, ba, coarse_mapper, pix_per_img, dp,
+            )
+            if fuse_coarse:
+                # independent coarse-mapper loss (disjoint params) rides in
+                # the same backward; own window, own RNG stream, no BA
+                loss = loss + _map_loss(
+                    p, fixed_c2w_c, colors_c, depths_c, bound,
+                    jax.random.fold_in(key, 2), cfg_now, cam, settings,
+                    "coarse", False, True, pix_per_img_c, dp,
+                )
+            return loss
+
         grad_fn = jax.value_and_grad(loss_fn)
 
         if use_events:
@@ -348,7 +382,8 @@ def map_frame_jit(
             key = jax.random.fold_in(jax.random.fold_in(base_key, _stage_id(stage)), it)
             loss, grads = grad_fn(params, key)
             if use_frustum:
-                grads = (_mask_grid_grads(grads[0], grid_masks, coarse_mapper),
+                grads = (_mask_grid_grads(grads[0], grid_masks, coarse_mapper,
+                                          fused=fuse_coarse),
                          grads[1], grads[2])
             lrs = lr_tree_for(params, event_update=False, it=it)
             new_params, adam = adam_update(grads, adam, params, lrs)
@@ -381,16 +416,17 @@ def _stage_id(stage: str) -> int:
     return {"coarse": 0, "middle": 1, "fine": 2, "color": 3}[stage]
 
 
-def _mask_grid_grads(grid_grads, grid_masks, coarse_mapper: bool):
+def _mask_grid_grads(grid_grads, grid_masks, coarse_mapper: bool,
+                     fused: bool = False):
     """Frustum selection as a gradient mask: coarse mapper touches only the
     coarse grid, the fine mapper everything but coarse
-    (reference src/Mapper.py:450-458)."""
+    (reference src/Mapper.py:450-458). In fused mode the coarse-mapper loss
+    shares the backward, so the coarse grid's gradient (produced ONLY by the
+    coarse loss — the staged decode never reads it) passes through too."""
     out = {}
     for lvl, g in grid_grads.items():
-        if (coarse_mapper and lvl != "coarse") or (not coarse_mapper and lvl == "coarse"):
-            out[lvl] = jnp.zeros_like(g)
-        else:
-            out[lvl] = g * grid_masks[lvl]
+        keep = (lvl == "coarse") if coarse_mapper else (fused or lvl != "coarse")
+        out[lvl] = g * grid_masks[lvl] if keep else jnp.zeros_like(g)
     return out
 
 
@@ -450,6 +486,12 @@ class Mapper:
         self.keyframes = KeyframeStore()
         self.eventnet = eventnet if eventnet is not None else {}
         self.rng = np.random.default_rng(seed)
+        # fold the coarse mapper's optimization into this mapper's compiled
+        # call (set by the pipeline; see map_frame_jit's fuse_coarse note).
+        # Its window selection draws from an independent stream so fusing
+        # cannot perturb the fine mapper's selection RNG.
+        self.fuse_coarse = False
+        self.rng_coarse = np.random.default_rng(seed + 1)
         self.BA_active = False
         self.last_loss = 0.0
         self.selected_keyframes = {}  # per-frame window info (opt-in)
@@ -555,6 +597,45 @@ class Mapper:
                 for f in window
             ]
         ).astype(np.float32)
+
+        # fused coarse-mapper term: its own globally-random window
+        # (reference forces 'global' selection for the coarse mapper,
+        # src/Mapper.py:83-85), assembled from the same device image cache
+        fuse_coarse = bool(
+            self.fuse_coarse and self.settings.nice
+            and not self.coarse_mapper and not color_refine
+        )
+        if fuse_coarse:
+            kf = self.keyframes
+            if len(kf) == 0:
+                c_frames: List[int] = []
+            else:
+                c_frames = random_select(
+                    len(kf) - 1, self.cfg.window_size - 2, self.rng_coarse
+                ) + [len(kf) - 1]
+            c_frames = [int(f) for f in c_frames] + [-1]
+            col_c, dep_c = [], []
+            for f in c_frames:
+                if f == -1:
+                    col_c.append(cur_color_dev)
+                    dep_c.append(cur_depth_dev)
+                else:
+                    c, d = self.keyframes.device_images(f)
+                    col_c.append(c)
+                    dep_c.append(d)
+            colors_c = jnp.stack(col_c)
+            depths_c = jnp.stack(dep_c)
+            fixed_c2w_c = jnp.asarray(np.stack(
+                [
+                    cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"]
+                    for f in c_frames
+                ]
+            ).astype(np.float32))
+            pix_per_img_c = cfg.pixels // len(c_frames)
+        else:
+            colors_c, depths_c = colors, depths
+            fixed_c2w_c = jnp.zeros((colors.shape[0], 4, 4), jnp.float32)
+            pix_per_img_c = 0
 
         ba = self.BA_active and not self.coarse_mapper
         oldest = min(window)
@@ -677,6 +758,9 @@ class Mapper:
                 gt_depth_lo_flat,
                 self.eventnet,
                 jnp.asarray(balancer, jnp.float32),
+                colors_c,
+                depths_c,
+                fixed_c2w_c,
                 cfg,
                 cam,
                 self.settings,
@@ -687,6 +771,8 @@ class Mapper:
                 stages,
                 use_events,
                 color_refine,
+                fuse_coarse,
+                pix_per_img_c,
                 self.dp,
             )
         # device scalar on purpose: float() would stall the host on the whole

@@ -166,10 +166,18 @@ class EvenNICERSLAM:
         self.mapper = Mapper(m_cfg, self.cam, self.settings, self.bound,
                              coarse_mapper=False, eventnet=self.eventnet,
                              dp=self.dp_sharding)
+        # coarse mapping: fused into the fine mapper's executable by default
+        # (disjoint parameter sets — see map_frame_jit's fuse_coarse note);
+        # mapping.fuse_coarse=false restores the separate-dispatch coarse
+        # mapper for A/B comparison
+        fuse_coarse = bool(
+            self.coarse and cfg["mapping"].get("fuse_coarse", True)
+        )
+        self.mapper.fuse_coarse = fuse_coarse
         self.coarse_mapper = (
             Mapper(m_cfg, self.cam, self.settings, self.bound,
                    coarse_mapper=True, dp=self.dp_sharding)
-            if self.coarse else None
+            if (self.coarse and not fuse_coarse) else None
         )
         self.t_cfg, self.m_cfg = t_cfg, m_cfg
 
@@ -184,8 +192,11 @@ class EvenNICERSLAM:
         self.pre_gt_color_mapper = None
         self.timings: Dict[str, float] = {"track": 0.0, "map": 0.0, "frames": 0}
         # deferred per-frame metrics: (host part, device part) tuples flushed
-        # in batches so the slow host link is hit once, not per record
+        # in batches so the slow host link is hit once, not per record.
+        # metrics_flush_batch raises the threshold (bench sets it beyond the
+        # measured window so no metric fetch lands inside the timed region)
         self._metric_queue: list = []
+        self._metric_batch = int(cfg.get("metrics_flush_batch", 16))
 
         from evennicer_slam_tpu.utils.telemetry import MetricsLogger, PhaseTimers
 
@@ -241,9 +252,11 @@ class EvenNICERSLAM:
     # ------------------------------------------------------------------
     # deferred metrics
 
-    def _flush_metrics(self, force: bool = False, batch: int = 16):
+    def _flush_metrics(self, force: bool = False, batch: Optional[int] = None):
         if not self._metric_queue:
             return
+        if batch is None:
+            batch = self._metric_batch
         if not force and len(self._metric_queue) < batch:
             return
         pending = self._metric_queue
@@ -255,7 +268,7 @@ class EvenNICERSLAM:
                 v = np.asarray(v)
                 if v.ndim == 0:
                     rec[k] = float(v)
-                else:
+                elif v.size > 0:  # e.g. a 0-iteration tracking config
                     rec[f"{k}_first"] = float(v[0])
                     rec[f"{k}_last"] = float(v[-1])
             self.metrics.log(rec)
@@ -308,12 +321,15 @@ class EvenNICERSLAM:
     # ------------------------------------------------------------------
 
     def _integrated_event(self, idx: int) -> np.ndarray:
-        """Sum of GT event frames for the mapping window
-        (reference src/Mapper.py:768-772). The tracker already accumulates
-        exactly this integral and hands it off at window boundaries
-        (src/Tracker.py:462-466) — reuse it instead of re-decoding
-        ``every_frame`` full frames from disk per mapping call."""
-        handoff = self.tracker.handoff_event_integrate
+        """Sum of the last ``every_frame`` GT event frames ending at ``idx``
+        (reference src/Mapper.py:768-772 re-integrates exactly this window on
+        EVERY mapping call). At window boundaries the tracker has already
+        accumulated this integral and hands it off (src/Tracker.py:462-466) —
+        consume it (once: it is cleared here) instead of re-decoding
+        ``every_frame`` full frames from disk. Out-of-cadence calls (the
+        final-frame color refinement at a non-boundary idx) re-integrate the
+        correct window instead of reading a stale handoff."""
+        handoff = self.tracker.consume_event_handoff(idx)
         if handoff is not None:
             return handoff
         every = self.m_cfg.every_frame
@@ -454,6 +470,14 @@ class EvenNICERSLAM:
                 self.decoders, self.grids, seed=idx,
             )
             self._set_pose(idx, c2w)
+            if idx % self.m_cfg.every_frame == 0 or idx == self.n_img - 1:
+                # a mapping call will fetch this pose: start the D2H copy as
+                # soon as the device produces it, overlapping the link's
+                # ~30 ms round trip with the remaining queued device work
+                try:
+                    c2w.copy_to_host_async()
+                except (AttributeError, NotImplementedError):
+                    pass
             self.timings["track"] += time.perf_counter() - t0
 
         self.tracker.end_of_window(idx, gt_color, self.m_cfg.every_frame)

@@ -92,6 +92,17 @@ class TrackerConfig(NamedTuple):
     # switches selection to the RGB-D loss on RGB-D frames (ablation knob;
     # event-only frames always select by event loss - it is the only one).
     best_pose_criterion: str = "event"
+    # extension: event-bias self-calibration. The event-loss basin minimum
+    # sits a systematic few mm off the true pose (measured,
+    # ARCHITECTURE.md §EventNet training); at RGB-D-anchored frames the
+    # tracker measures that offset (event-only optimization probe FROM the
+    # anchored pose) and subtracts it from subsequent event-tracked poses,
+    # breaking the drift accumulation through the map/pose feedback loop.
+    bias_correction: bool = False
+    # "constant": subtract the full measured bias each frame;
+    # "window": scale by (frames since boundary)/rgbd_every_frame (the bias
+    # was measured on a full integration window)
+    bias_scale_mode: str = "constant"
 
     @staticmethod
     def from_cfg(cfg: Dict[str, Any], use_events: bool) -> "TrackerConfig":
@@ -121,6 +132,8 @@ class TrackerConfig(NamedTuple):
             unblurred_weight=e.get("unblurred_weight", 0.0),
             kernel_weights=tuple(e.get("kernel_weights", [1.0])),
             best_pose_criterion=e.get("best_pose_criterion", "event"),
+            bias_correction=bool(e.get("bias_correction", False)),
+            bias_scale_mode=e.get("bias_scale_mode", "constant"),
         )
 
 
@@ -264,7 +277,7 @@ def initial_pose_tensor(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "cam", "settings", "rgbd", "event", "const_speed",
-                     "dp"),
+                     "calibrate", "apply_bias", "dp"),
 )
 def track_frame_jit(
     pre_c2w: jnp.ndarray,
@@ -279,12 +292,16 @@ def track_frame_jit(
     gt_event_lo: jnp.ndarray,
     prev_color_lo: jnp.ndarray,
     gt_depth_lo_flat: jnp.ndarray,
+    bias_in: jnp.ndarray,
+    bias_scale: jnp.ndarray,
     cfg: TrackerConfig,
     cam: Camera,
     settings: RenderSettings,
     rgbd: bool,
     event: bool,
     const_speed: bool,
+    calibrate: bool = False,
+    apply_bias: bool = False,
     dp=None,
 ):
     """Full per-frame tracking: pose init by constant-speed extrapolation
@@ -292,7 +309,13 @@ def track_frame_jit(
     all on device, so the host never has to fetch a pose mid-sequence (each
     fetch over the remote-device link costs ~30 ms of round-trip latency).
 
-    Returns (best_cam_tensor, best_c2w [4, 4], per-iter loss dict)."""
+    ``calibrate`` (RGB-D-anchored frames, event.bias_correction): after the
+    anchored pose is selected, an event-only probe optimization measures the
+    event basin's offset from it; ``apply_bias`` (event-only frames) subtracts
+    ``bias_in * bias_scale`` from the winning pose tensor.
+
+    Returns (best_cam_tensor, best_c2w [4, 4], per-iter loss dict,
+    bias_out [7])."""
     init_cam_tensor = initial_pose_tensor(pre_c2w, pre_pre_c2w, const_speed)
     if cfg.separate_lr:
         lr_vec = jnp.concatenate(
@@ -355,6 +378,44 @@ def track_frame_jit(
     (final_cam, _, _, best_cam), losses = jax.lax.scan(
         step, init, jnp.arange(cfg.iters)
     )
+
+    bias_out = jnp.zeros((7,), jnp.float32)
+    if calibrate and event:
+        # event-only probe from the anchored pose: where does the event
+        # basin pull a pose that RGB-D says is right? That offset is the
+        # systematic bias to subtract on event-only frames.
+        ev_loss_fn = functools.partial(
+            _tracking_loss,
+            decoders=decoders, grids=grids, eventnet=eventnet, bound=bound,
+            gt_color=gt_color, gt_depth=gt_depth, gt_event_lo=gt_event_lo,
+            prev_color_lo=prev_color_lo, gt_depth_lo_flat=gt_depth_lo_flat,
+            cfg=cfg._replace(activate_events=True), cam=cam,
+            settings=settings, rgbd=False, event=True, dp=dp,
+        )
+        ev_grad_fn = jax.value_and_grad(
+            lambda ct, key: ev_loss_fn(ct, key=key), has_aux=True
+        )
+
+        def ev_step(carry, it):
+            cam_t, adam_state, best_loss, best = carry
+            key = jax.random.fold_in(base_key, 1000 + it)
+            (_, aux), g = ev_grad_fn(cam_t, key)
+            new_cam, adam_state = adam_update(g, adam_state, cam_t, lr_vec)
+            better = aux["event"] < best_loss
+            best_loss = jnp.where(better, aux["event"], best_loss)
+            best = jnp.where(better, new_cam, best)
+            return (new_cam, adam_state, best_loss, best), aux["event"]
+
+        (_, _, _, ev_best), _ = jax.lax.scan(
+            ev_step,
+            (best_cam, adam_init(best_cam), jnp.asarray(jnp.inf), best_cam),
+            jnp.arange(cfg.iters),
+        )
+        bias_out = ev_best - best_cam
+
+    if apply_bias and event:
+        best_cam = best_cam - bias_in * bias_scale
+
     best_c2w = jnp.concatenate(
         [
             pose_matrix_from_tensor(best_cam),
@@ -362,7 +423,7 @@ def track_frame_jit(
         ],
         axis=0,
     )
-    return best_cam, best_c2w, losses
+    return best_cam, best_c2w, losses, bias_out
 
 
 @functools.partial(jax.jit, static_argnames=("lo_hw",))
@@ -400,7 +461,22 @@ class Tracker:
         self.pre_gt_color: Optional[jnp.ndarray] = None
         self.gt_event_integrate: Optional[jnp.ndarray] = None
         self.handoff_event_integrate: Optional[jnp.ndarray] = None
+        self.handoff_idx: int = -1
         self.last_losses: Dict[str, jnp.ndarray] = {}
+        # event-bias self-calibration state (device 7-vector, see
+        # TrackerConfig.bias_correction)
+        self.event_bias: Optional[jnp.ndarray] = None
+
+    def consume_event_handoff(self, idx: int) -> Optional[jnp.ndarray]:
+        """The event integral handed off at window boundary ``idx``, or None
+        if none/stale (an out-of-cadence mapping call must re-integrate its
+        own window rather than reuse an older boundary's integral). Consuming
+        clears the handoff so it can never be read twice."""
+        if self.handoff_event_integrate is None or self.handoff_idx != idx:
+            return None
+        out = self.handoff_event_integrate
+        self.handoff_event_integrate = None
+        return out
 
     def reset_event_integration(self, shape):
         self.gt_event_integrate = jnp.zeros(shape, jnp.float32)
@@ -446,7 +522,19 @@ class Tracker:
             jnp.asarray(pre_pre_c2w) if pre_pre_c2w is not None
             else jnp.eye(4, dtype=jnp.float32)
         )
-        best_cam, c2w, losses = track_frame_jit(
+        calibrate = bool(cfg.bias_correction and event and rgbd and idx > 0)
+        apply_bias = bool(
+            cfg.bias_correction and event and not rgbd
+            and self.event_bias is not None
+        )
+        if apply_bias and cfg.bias_scale_mode == "window":
+            scale = (idx % cfg.rgbd_every_frame) / cfg.rgbd_every_frame
+        else:
+            scale = 1.0
+        bias_in = (
+            self.event_bias if apply_bias else jnp.zeros((7,), jnp.float32)
+        )
+        best_cam, c2w, losses, bias_out = track_frame_jit(
             pre_c2w,
             pre_pre_c2w,
             decoders,
@@ -459,15 +547,21 @@ class Tracker:
             gt_event_lo,
             prev_color_lo,
             gt_depth_lo_flat,
+            bias_in,
+            jnp.asarray(scale, jnp.float32),
             cfg,
             self.cam,
             self.settings,
             rgbd,
             event,
             const_speed,
+            calibrate,
+            apply_bias,
             self.dp,
         )
         self.last_losses = losses
+        if calibrate:
+            self.event_bias = bias_out
         return c2w
 
     def end_of_window(self, idx: int, gt_color: jnp.ndarray, every_frame: int):
@@ -478,4 +572,5 @@ class Tracker:
             self.pre_gt_color = gt_color
             if self.gt_event_integrate is not None:
                 self.handoff_event_integrate = self.gt_event_integrate
+                self.handoff_idx = idx
                 self.gt_event_integrate = jnp.zeros_like(self.gt_event_integrate)

@@ -2,24 +2,29 @@
 
 The system's namesake capability is tracking frames that have NO RGB-D
 (``rgbd_every_frame=5``, reference configs/Replica/replica.yaml:5) using the
-EventNet loss. This tool quantifies it on the synthetic benchmark:
+EventNet loss. This tool quantifies it on the synthetic benchmark across a
+variant grid (ATE RMSE vs ground truth, optionally over multiple trajectory
+seeds with mean +- std):
 
-  A. dead reckoning      — event loss computed but NOT optimized
-                           (activate_events=false); non-RGB-D frames keep the
-                           constant-speed extrapolation; best pose by RGB-D.
-  B. events (GT-trained) — net trained on GT-GT intensity pairs (the round-1
-                           setup that LOST to dead reckoning).
-  C. events (map-domain) — net fine-tuned on (map-render, GT-event) pairs
-                           (models/eventnet_train.map_domain_pairs), the
-                           tracker's true inference distribution.
-
-Each run reports ATE RMSE vs ground truth. Also prints the
-best-pose-criterion quirk ablation (reference src/Tracker.py:439-442):
-variant C with selection by event loss (reference behavior) vs RGB-D loss.
+  A  dead reckoning       — event loss computed but NOT optimized; non-RGB-D
+                            frames keep constant-speed extrapolation.
+  B  events (GT-trained)  — net trained on GT-GT intensity pairs (round-1
+                            setup; needs --with_gt_variant).
+  C  events (map-domain)  — reference behavior: net fine-tuned on
+                            (map-render, GT-event) pairs, best pose by the
+                            event loss (quirk, reference src/Tracker.py:439).
+  C' C with best pose by RGB-D on RGB-D frames (quirk ablation).
+  D  events optimized only on non-RGB-D frames (extension knob).
+  E  D + event-bias self-calibration (event.bias_correction: the basin's
+     systematic offset is measured at RGB-D-anchored frames and subtracted
+     from event-tracked poses; see slam/tracker.py).
+  E' E with window-scaled bias (event.bias_scale_mode: window).
+  F  C + bias calibration (reference activation + correction).
 
 Usage:
     python -m evennicer_slam_tpu.tools.event_ablation \
-        [--frames 26] [--hw 240 320] [--out pretrained/eventnet_mapdomain.npz]
+        [--frames 26] [--hw 240 320] [--seeds 3] \
+        [--out pretrained/eventnet_mapdomain.npz] [--net <trained.npz>]
 """
 
 from __future__ import annotations
@@ -31,7 +36,7 @@ import os
 
 
 def build_cfg(scene_dir: str, n_frames: int, H: int, W: int,
-              traj_jitter: float = 0.004):
+              traj_jitter: float = 0.004, traj_seed: int = 7):
     import numpy as np
 
     from evennicer_slam_tpu.config import (
@@ -49,7 +54,7 @@ def build_cfg(scene_dir: str, n_frames: int, H: int, W: int,
     frag = make_synthetic_replica(
         scene_dir, n_frames=n_frames, H=H, W=W, fx=0.5 * W, fy=0.5 * W,
         bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
-        traj_step=0.015, traj_jitter=traj_jitter,
+        traj_step=0.015, traj_jitter=traj_jitter, traj_seed=traj_seed,
     )
     cfg = load_config(default_config_path(nice=True))
     update_recursive(cfg, frag)
@@ -74,7 +79,21 @@ def build_cfg(scene_dir: str, n_frames: int, H: int, W: int,
     return cfg
 
 
-def run_variant(cfg, eventnet, n_frames: int, activate: bool, criterion: str):
+# variant grid: name -> (activate_events, best_pose_criterion, extra event cfg)
+VARIANTS = {
+    "A_dead_reckoning": (False, "rgbd", {}),
+    "C_events_reference": (True, "event", {}),
+    "Cp_rgbd_criterion": (True, "rgbd", {}),
+    "D_non_rgbd_only": ("non_rgbd", "rgbd", {}),
+    "E_bias_const": ("non_rgbd", "rgbd", {"bias_correction": True}),
+    "Ep_bias_window": ("non_rgbd", "rgbd",
+                       {"bias_correction": True, "bias_scale_mode": "window"}),
+    "F_reference_plus_bias": (True, "event", {"bias_correction": True}),
+}
+
+
+def run_variant(cfg, eventnet, n_frames: int, activate, criterion: str,
+                extra_event_cfg=None):
     import numpy as np
 
     from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
@@ -83,6 +102,8 @@ def run_variant(cfg, eventnet, n_frames: int, activate: bool, criterion: str):
     cfg = copy.deepcopy(cfg)
     cfg["event"]["activate_events"] = activate
     cfg["event"]["best_pose_criterion"] = criterion
+    for k, v in (extra_event_cfg or {}).items():
+        cfg["event"][k] = v
     slam = EvenNICERSLAM(cfg, nice=True)
     if eventnet is not None:
         slam.eventnet = eventnet
@@ -103,7 +124,14 @@ def main():
     parser.add_argument("--out", default="pretrained/eventnet_mapdomain.npz")
     parser.add_argument("--train_steps", type=int, default=300)
     parser.add_argument("--traj_jitter", type=float, default=0.004)
-    parser.add_argument("--skip_gt_variant", action="store_true")
+    parser.add_argument("--seeds", type=int, default=1,
+                        help="number of trajectory-jitter seeds (mean+-std)")
+    parser.add_argument("--with_gt_variant", action="store_true",
+                        help="also train+run the round-1 GT-GT variant (B)")
+    parser.add_argument("--skip_gt_variant", action="store_true",
+                        help="(default; kept for CLI compatibility)")
+    parser.add_argument("--variants", nargs="*", default=None,
+                        help=f"subset of {list(VARIANTS)} (default: all)")
     parser.add_argument("--net", default=None,
                         help="load this .npz and skip all training")
     args = parser.parse_args()
@@ -121,107 +149,93 @@ def main():
     )
 
     H, W = args.hw
-    cfg = build_cfg(args.scene, args.frames, H, W,
-                    traj_jitter=args.traj_jitter)
-    results = {}
+    seeds = [7 + 1000 * i for i in range(max(1, args.seeds))]
+    cfg0 = build_cfg(args.scene, args.frames, H, W,
+                     traj_jitter=args.traj_jitter, traj_seed=seeds[0])
 
-    results["dead_reckoning"] = run_variant(
-        cfg, None, args.frames, activate=False, criterion="rgbd"
-    )
-    print(json.dumps({"variant": "A dead reckoning",
-                      "ate_rmse_m": results["dead_reckoning"]}), flush=True)
-
+    # --- net: load or train once (on the first seed's scene) -------------
     if args.net:
         from evennicer_slam_tpu.models.eventnet_train import load_eventnet_npz
 
         net_md = load_eventnet_npz(args.net)
-        _report_event_variants(cfg, net_md, args, results)
-        return
-
-    bound = np.array(cfg["mapping"]["bound"], np.float32)
-    if not args.skip_gt_variant:
-        net_gt = train_eventnet(steps=args.train_steps, batch=4,
-                                hw=(int(H * 0.15), int(W * 0.15)),
-                                bound=bound, seed=0, verbose=True)
-        results["events_gt_trained"] = run_variant(
-            cfg, net_gt, args.frames, activate=True, criterion="event"
-        )
-        print(json.dumps({"variant": "B events (GT-GT trained)",
-                          "ate_rmse_m": results["events_gt_trained"]}),
-              flush=True)
-        init = net_gt
     else:
-        # skip the (host-render-bound) GT-GT stage entirely; map-domain
-        # training below starts from scratch with more steps
+        bound = np.array(cfg0["mapping"]["bound"], np.float32)
         init = None
+        if args.with_gt_variant:
+            net_gt = train_eventnet(steps=args.train_steps, batch=4,
+                                    hw=(int(H * 0.15), int(W * 0.15)),
+                                    bound=bound, seed=0, verbose=True)
+            ate_b = run_variant(cfg0, net_gt, args.frames, True, "event")
+            print(json.dumps({"variant": "B events (GT-GT trained)",
+                              "ate_rmse_m": ate_b}), flush=True)
+            init = net_gt
 
-    # GT renders at arbitrary poses (synthetic scene) enable perturbed-pose
-    # triples: they teach the net to report the events implied by what an
-    # OFF-pose render shows, which is what gives the tracker's event loss a
-    # usable pose gradient
-    from evennicer_slam_tpu.data.synthetic import render_box_views
+        # GT renders at arbitrary poses (synthetic scene) enable
+        # perturbed-pose triples: they teach the net to report the events
+        # implied by what an OFF-pose render shows, which is what gives the
+        # tracker's event loss a usable pose gradient
+        from evennicer_slam_tpu.data.synthetic import render_box_views
 
-    bound_arr = np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32)
-    cam = cfg["cam"]
+        bound_arr = np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]],
+                             np.float32)
+        cam = cfg0["cam"]
 
-    def gt_render_fn(c2w):
-        return render_box_views(
-            c2w, cam["H"], cam["W"], cam["fx"], cam["fy"], cam["cx"],
-            cam["cy"], bound_arr,
+        def gt_render_fn(c2w):
+            return render_box_views(
+                c2w, cam["H"], cam["W"], cam["fx"], cam["fy"], cam["cx"],
+                cam["cy"], bound_arr,
+            )
+
+        net_md = train_eventnet_map_domain(
+            cfg0,
+            steps=args.train_steps if init is not None else 2 * args.train_steps,
+            n_map_frames=args.frames, n_pairs=128,
+            init_params=init, seed=0,
+            perturb_trans=0.01, perturb_rot=0.005, gt_render_fn=gt_render_fn,
+            verbose=True,
         )
+        if args.out:
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            save_eventnet_npz(net_md, args.out)
 
-    net_md = train_eventnet_map_domain(
-        cfg, steps=args.train_steps if init is not None else 2 * args.train_steps,
-        n_map_frames=args.frames, n_pairs=128,
-        init_params=init, seed=0,
-        perturb_trans=0.01, perturb_rot=0.005, gt_render_fn=gt_render_fn,
-        verbose=True,
-    )
-    if args.out:
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        save_eventnet_npz(net_md, args.out)
+    # --- variant grid x seeds -------------------------------------------
+    names = args.variants or list(VARIANTS)
+    per_seed = {name: [] for name in names}
+    for seed in seeds:
+        cfg = (cfg0 if seed == seeds[0] else build_cfg(
+            args.scene + f"_s{seed}", args.frames, H, W,
+            traj_jitter=args.traj_jitter, traj_seed=seed,
+        ))
+        for name in names:
+            activate, criterion, extra = VARIANTS[name]
+            net = None if name.startswith("A_") else net_md
+            ate = run_variant(cfg, net, args.frames, activate, criterion,
+                              extra)
+            per_seed[name].append(ate)
+            print(json.dumps({"variant": name, "seed": seed,
+                              "ate_rmse_m": round(ate, 5)}), flush=True)
 
-    _report_event_variants(cfg, net_md, args, results)
-
-
-def _report_event_variants(cfg, net_md, args, results):
-    import json as _json
-
-    results["events_map_domain"] = run_variant(
-        cfg, net_md, args.frames, activate=True, criterion="event"
-    )
-    print(_json.dumps({"variant": "C events (map-domain)",
-                       "ate_rmse_m": results["events_map_domain"]}), flush=True)
-
-    results["events_map_domain_rgbd_criterion"] = run_variant(
-        cfg, net_md, args.frames, activate=True, criterion="rgbd"
-    )
-    print(_json.dumps({
-        "variant": "C' map-domain, best pose by RGB-D (quirk ablation)",
-        "ate_rmse_m": results["events_map_domain_rgbd_criterion"],
-    }), flush=True)
-
-    # D: events optimized ONLY where there is no RGB-D loss — the event
-    # signal's ~5 mm bias otherwise degrades the mm-precise anchor frames
-    # (framework extension; reference always sums both)
-    results["events_non_rgbd_only"] = run_variant(
-        cfg, net_md, args.frames, activate="non_rgbd", criterion="rgbd"
-    )
-    print(_json.dumps({
-        "variant": "D events on non-RGB-D frames only (extension)",
-        "ate_rmse_m": results["events_non_rgbd_only"],
-    }), flush=True)
-
-    dr = results.get("dead_reckoning", float("inf"))
-    best_ev = min(results["events_map_domain"],
-                  results["events_non_rgbd_only"],
-                  results["events_map_domain_rgbd_criterion"])
-    print(_json.dumps({
-        "summary": results,
-        # reference behavior (variant C) vs any mode incl. the extensions
+    summary = {
+        name: {
+            "mean": float(np.mean(v)),
+            "std": float(np.std(v)),
+            "runs": [round(x, 5) for x in v],
+        }
+        for name, v in per_seed.items()
+    }
+    dr = summary.get("A_dead_reckoning", {}).get("mean", float("inf"))
+    ev_means = {n: s["mean"] for n, s in summary.items()
+                if not n.startswith("A_")}
+    best = min(ev_means, key=ev_means.get) if ev_means else None
+    print(json.dumps({
+        "summary": summary,
+        "seeds": seeds,
+        "frames": args.frames,
+        "best_event_mode": best,
         "events_beat_dead_reckoning_reference":
-            bool(results["events_map_domain"] < dr),
-        "events_beat_dead_reckoning_any_mode": bool(best_ev < dr),
+            bool(summary.get("C_events_reference", {}).get("mean", 1e9) < dr),
+        "events_beat_dead_reckoning_any_mode":
+            bool(best is not None and ev_means[best] < dr),
     }), flush=True)
 
 

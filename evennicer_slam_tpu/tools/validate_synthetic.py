@@ -21,42 +21,31 @@ import json
 import os
 
 
-def box_room_mesh(bound):
-    """The synthetic scene's exact geometry: the interior of the room box
-    (data/synthetic.render_box_views ray-traces this box)."""
-    import numpy as np
-
-    from evennicer_slam_tpu.mesh.trimesh_lite import Mesh
-
-    (x0, x1), (y0, y1), (z0, z1) = bound
-    v = np.array([
-        [x0, y0, z0], [x1, y0, z0], [x1, y1, z0], [x0, y1, z0],
-        [x0, y0, z1], [x1, y0, z1], [x1, y1, z1], [x0, y1, z1],
-    ])
-    quads = [
-        (0, 1, 2, 3), (4, 5, 6, 7), (0, 1, 5, 4),
-        (2, 3, 7, 6), (0, 3, 7, 4), (1, 2, 6, 5),
-    ]
-    faces = []
-    for a, b, c, d in quads:
-        faces += [[a, b, c], [a, c, d]]
-    return Mesh(v, np.array(faces))
-
-
 def main():
     parser = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    parser.add_argument("--frames", type=int, default=100)
+    parser.add_argument("--frames", type=int, default=300)
     parser.add_argument("--hw", type=int, nargs=2, default=(680, 1200))
     parser.add_argument("--events", action="store_true")
     parser.add_argument("--scene", default="/tmp/enslam_validate")
     parser.add_argument("--n_imgs_2d", type=int, default=50)
     parser.add_argument(
-        "--traj_step", type=float, default=0.008,
-        help="per-frame orbit angle (rad). The default matches the reference"
-             " workload's ~0.3-0.5 deg/frame camera speed; sweeping a full"
-             " orbit in few frames starves mapping per region (measured:"
-             " 2.4 deg/frame -> 0.2 m ATE)",
+        "--traj_step", type=float, default=0.004,
+        help="per-frame orbit angle (rad). With the coverage gaze sweep the"
+             " default keeps view rotation <= ~4 deg/frame; sweeping the"
+             " orbit faster starves mapping per region (measured:"
+             " 2.4 deg/frame orbit -> 0.2 m ATE on the plain scene)",
     )
+    parser.add_argument(
+        "--plain", action="store_true",
+        help="empty box room + low-coverage orbit (the pre-round-3 scene);"
+             " default is the furnished scene (boxes, spheres, occluders)"
+             " with a coverage trajectory observing most of the GT surface",
+    )
+    parser.add_argument("--keyframe_every", type=int, default=None,
+                        help="override mapping.keyframe_every (the coverage"
+                             " trajectory pans faster than the reference's"
+                             " real-data walkthroughs; denser keyframes keep"
+                             " the overlap selector anchored)")
     args = parser.parse_args()
 
     from evennicer_slam_tpu.utils.runtime import setup_jax
@@ -78,9 +67,21 @@ def main():
     H, W = args.hw
     bound = np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32)
     step = args.traj_step
+    furnished = not args.plain
+    # coverage trajectory: gaze pans ~3x the eye's orbit speed and the gaze
+    # height sweeps floor-to-ceiling, so the frusta observe most of the GT
+    # surface (the old orbit saw 14%; completion was coverage-limited)
+    # (measured with the occlusion-aware visibility test below: 82% of the
+    # furnished GT surface at --frames 300 --traj_step 0.004)
+    traj_kwargs = (
+        {"gaze_mult": 5.5, "pitch_base": 0.0, "pitch_amp": 2.2,
+         "pitch_freq": 13.0}
+        if furnished else {}
+    )
     frag = make_synthetic_replica(
         args.scene, n_frames=args.frames, H=H, W=W, fx=0.5 * W, fy=0.5 * W,
-        bound=bound, traj_step=step,
+        bound=bound, traj_step=step, furnished=furnished,
+        traj_kwargs=traj_kwargs,
     )
     cfg = load_config(default_config_path(nice=True))
     update_recursive(cfg, frag)
@@ -91,6 +92,12 @@ def main():
         "meshing": {"eval_rec": True},
         "data": {"output": os.path.join(args.scene, "out")},
     }
+    if args.keyframe_every is None and furnished:
+        # the 3x gaze pan turns over view content ~3x faster than the
+        # reference walkthroughs keyframe_every=50 was tuned for
+        overrides["mapping"]["keyframe_every"] = 16
+    elif args.keyframe_every is not None:
+        overrides["mapping"]["keyframe_every"] = args.keyframe_every
     if args.events:
         net_path = os.path.abspath("pretrained/eventnet_mapdomain.npz")
         assert os.path.exists(net_path), (
@@ -120,7 +127,9 @@ def main():
 
     rec_path = os.path.join(out, "mesh", "final_mesh_eval_rec.ply")
     assert os.path.exists(rec_path), f"missing {rec_path}"
-    gt_mesh = box_room_mesh(bound)
+    from evennicer_slam_tpu.data.synthetic import scene_gt_mesh
+
+    gt_mesh = scene_gt_mesh(bound, furnished=furnished)
     gt_path = os.path.join(args.scene, "gt_mesh.ply")
     gt_mesh.export(gt_path)
     # unseen-region point cloud in the reference's data layout
@@ -134,10 +143,17 @@ def main():
     for i in range(0, args.frames):
         w2c = np.linalg.inv(gt[i].astype(np.float64))
         uv, z, _ = _project(gt_pts, w2c, slam.cam)
-        seen |= (
-            (uv[:, 0] > 0) & (uv[:, 0] < slam.cam.W)
-            & (uv[:, 1] > 0) & (uv[:, 1] < slam.cam.H) & (z < 0)
+        inside = (
+            (uv[:, 0] > 0) & (uv[:, 0] < slam.cam.W - 1)
+            & (uv[:, 1] > 0) & (uv[:, 1] < slam.cam.H - 1) & (z < 0)
         )
+        # occlusion test against the frame's GT depth (furniture hides wall
+        # area that a frustum-only test would count as observed)
+        frame_depth = np.asarray(slam.frame_reader[i].depth)
+        ui = np.clip(uv[:, 0].astype(int), 0, slam.cam.W - 1)
+        vi = np.clip(uv[:, 1].astype(int), 0, slam.cam.H - 1)
+        visible = inside & (-z <= frame_depth[vi, ui] + 0.05)
+        seen |= visible
     unseen_pc = gt_pts[~seen]
     np.save(gt_path.replace(".ply", "_pc_unseen.npy"), unseen_pc)
     print(json.dumps({"gt_surface_seen_frac": float(seen.mean())}), flush=True)

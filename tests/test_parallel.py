@@ -6,7 +6,7 @@ import numpy as np
 
 class TestMultichip:
     def test_mesh_shape(self):
-        from evennicer_slam_tpu.parallel.sharding import make_mesh
+        from evennicer_slam_tpu.parallel.tp_example import make_mesh
 
         mesh = make_mesh(8)
         assert mesh.devices.size == 8
@@ -21,7 +21,7 @@ class TestMultichip:
         """The dp+tp sharded training step must be numerically equivalent to
         the unsharded computation."""
         import __graft_entry__ as g
-        from evennicer_slam_tpu.parallel.sharding import (
+        from evennicer_slam_tpu.parallel.tp_example import (
             init_multichip_state,
             make_mesh,
             multichip_train_step,

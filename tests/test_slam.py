@@ -185,6 +185,86 @@ class TestMapperEventSupervision:
         assert np.isfinite(np.asarray(slam.grids["middle"])).all()
 
 
+class TestFusedCoarseMapping:
+    def test_fused_equals_separate_on_fine_params(self, tmp_path):
+        """The coarse-mapper loss reads ONLY the coarse grid + coarse decoder
+        and the staged decode never touches them, so fusing it into the fine
+        mapper's executable (mapping.fuse_coarse) must leave every
+        middle/fine/color parameter bitwise identical to the two-dispatch
+        schedule, while the coarse grid still trains."""
+        cfg_a = tiny_cfg(tmp_path / "a", mapping={"fuse_coarse": False})
+        slam_a = EvenNICERSLAM(cfg_a, nice=True)
+        assert slam_a.coarse_mapper is not None
+        coarse_init = np.asarray(slam_a.grids["coarse"]).copy()
+        slam_a.run(end_frame=3, mesh=False, checkpoint=False)
+
+        cfg_b = tiny_cfg(tmp_path / "b", mapping={"fuse_coarse": True})
+        slam_b = EvenNICERSLAM(cfg_b, nice=True)
+        assert slam_b.coarse_mapper is None and slam_b.mapper.fuse_coarse
+        slam_b.run(end_frame=3, mesh=False, checkpoint=False)
+
+        for lvl in ("middle", "fine", "color"):
+            np.testing.assert_array_equal(
+                np.asarray(slam_a.grids[lvl]), np.asarray(slam_b.grids[lvl]),
+                err_msg=f"fused coarse perturbed the {lvl} grid",
+            )
+        a_flat = jax.tree.leaves(slam_a.decoders)
+        b_flat = jax.tree.leaves(slam_b.decoders)
+        for x, y in zip(a_flat, b_flat):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+        # the coarse grid trained in both schedules (values differ between
+        # them: independent RNG streams by design)
+        for s in (slam_a, slam_b):
+            assert np.abs(np.asarray(s.grids["coarse"]) - coarse_init).max() > 0
+        np.testing.assert_allclose(
+            slam_a.estimate_c2w_list[:3], slam_b.estimate_c2w_list[:3],
+            atol=1e-6,
+        )
+
+
+class TestEventHandoffWindow:
+    def test_out_of_cadence_mapping_reintegrates(self, tmp_path):
+        """Every mapping call must see the sum of the last ``every_frame``
+        event frames ending at ITS frame (reference src/Mapper.py:766-772
+        re-integrates per call). A non-boundary call (final color refine)
+        must not consume a stale boundary handoff."""
+        cfg = tiny_cfg(tmp_path, events=True, n_frames=4)
+        cfg["mapping"]["use_events"] = True
+        slam = EvenNICERSLAM(cfg, nice=True)
+        every = slam.m_cfg.every_frame
+        assert every == 2
+        for idx in range(3):
+            slam.step(idx)
+        # step(2) mapped at the boundary and consumed the handoff there
+        assert slam.tracker.consume_event_handoff(2) is None
+
+        ev = [np.asarray(slam.frame_reader[i].event) for i in range(4)]
+        # a non-boundary mapping call (e.g. final color refine at idx=3)
+        # integrates frames 2..3, not a stale boundary integral
+        got = np.asarray(slam._integrated_event(3))
+        np.testing.assert_allclose(got, ev[2] + ev[3], atol=1e-5)
+
+    def test_boundary_handoff_matches_reintegration(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, events=True, n_frames=4)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        slam.step(0)
+        slam.step(1)
+        # track frame 2 -> boundary handoff covers frames 1..2
+        frame, dev = slam.frame_reader.get_with_device(2)
+        gt_color, gt_depth, gt_event = dev
+        pre = slam._pose(1)
+        c2w = slam.tracker.track(2, gt_color, gt_depth, gt_event, pre,
+                                 slam._pose(0), slam.decoders, slam.grids,
+                                 seed=2)
+        slam._set_pose(2, c2w)
+        slam.tracker.end_of_window(2, gt_color, 2)
+        handoff = slam.tracker.consume_event_handoff(2)
+        ev = [np.asarray(slam.frame_reader[i].event) for i in range(3)]
+        np.testing.assert_allclose(np.asarray(handoff), ev[1] + ev[2], atol=1e-5)
+        # consumed: second read falls back to re-integration
+        assert slam.tracker.consume_event_handoff(2) is None
+
+
 class TestMappingInnerIterationVis:
     def test_inner_iteration_panels_and_equivalence(self, tmp_path):
         """Per-inner-iteration mapping vis (reference Visualizer fires every
