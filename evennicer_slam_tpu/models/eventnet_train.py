@@ -284,17 +284,31 @@ def train_eventnet_map_domain(
     return params
 
 
-def save_eventnet_npz(params: Dict, path: str) -> None:
+def save_eventnet_npz(params: Dict, path: str, half: bool = True) -> None:
+    """``half`` stores conv/BN weights as float16 (halves the shipped-weights
+    size; ~1e-3 relative quantization is far below the net's own error) while
+    keeping BatchNorm running statistics in float32 (variances can underflow
+    f16's 6e-5 normal floor)."""
     from evennicer_slam_tpu.utils.logger import _flatten_tree
 
     flat = {}
     _flatten_tree(params, "eventnet", flat)
+    if half:
+        flat = {
+            k: (v if ("var" in k or "mean" in k or v.dtype != np.float32)
+                else v.astype(np.float16))
+            for k, v in flat.items()
+        }
     np.savez_compressed(path, **flat)
 
 
 def load_eventnet_npz(path: str) -> Dict:
+    """Loads f32 or f16-quantized checkpoints; parameters are always cast
+    back to the template (f32) dtypes for inference."""
     from evennicer_slam_tpu.utils.logger import _unflatten_into
 
     data = dict(np.load(path))
+    data = {k: v.astype(np.float32) if v.dtype == np.float16 else v
+            for k, v in data.items()}
     template = init_eventnet(jax.random.PRNGKey(0))
     return _unflatten_into(template, "eventnet", data)

@@ -222,6 +222,36 @@ class TestFusedCoarseMapping:
         )
 
 
+class TestEventBiasCorrection:
+    def test_bias_measured_and_applied(self, tmp_path):
+        """event.bias_correction: RGB-D-anchored frames measure the event
+        basin's offset (device 7-vector), event-only frames subtract it."""
+        cfg = tiny_cfg(tmp_path, events=True, n_frames=4)
+        cfg["event"]["bias_correction"] = True
+        cfg["event"]["best_pose_criterion"] = "rgbd"
+        cfg["event"]["activate_events"] = "non_rgbd"
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.tracker.cfg.bias_correction
+        slam.step(0)
+        slam.step(1)  # non-RGB-D (rgbd_every_frame=2): no bias yet
+        assert slam.tracker.event_bias is None
+        slam.step(2)  # RGB-D frame: calibration probe runs
+        bias = np.asarray(slam.tracker.event_bias)
+        assert bias.shape == (7,) and np.isfinite(bias).all()
+        slam.step(3)  # event-only frame: bias applied to the output pose
+        est = slam.estimate_c2w_list
+        assert np.isfinite(est[:4]).all()
+
+    def test_window_scale_mode(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, events=True, n_frames=4)
+        cfg["event"]["bias_correction"] = True
+        cfg["event"]["bias_scale_mode"] = "window"
+        slam = EvenNICERSLAM(cfg, nice=True)
+        for i in range(4):
+            slam.step(i)
+        assert np.isfinite(slam.estimate_c2w_list[:4]).all()
+
+
 class TestEventHandoffWindow:
     def test_out_of_cadence_mapping_reintegrates(self, tmp_path):
         """Every mapping call must see the sum of the last ``every_frame``
