@@ -103,6 +103,12 @@ class TrackerConfig(NamedTuple):
     # "window": scale by (frames since boundary)/rgbd_every_frame (the bias
     # was measured on a full integration window)
     bias_scale_mode: str = "constant"
+    # EMA over boundary measurements (0 = use the newest only). The probe's
+    # Adam transient adds noise on top of the systematic offset; averaging
+    # across boundaries keeps the systematic part and cancels the noise.
+    bias_ema: float = 0.0
+    # global damping on the applied correction
+    bias_alpha: float = 1.0
 
     @staticmethod
     def from_cfg(cfg: Dict[str, Any], use_events: bool) -> "TrackerConfig":
@@ -134,6 +140,8 @@ class TrackerConfig(NamedTuple):
             best_pose_criterion=e.get("best_pose_criterion", "event"),
             bias_correction=bool(e.get("bias_correction", False)),
             bias_scale_mode=e.get("bias_scale_mode", "constant"),
+            bias_ema=float(e.get("bias_ema", 0.0)),
+            bias_alpha=float(e.get("bias_alpha", 1.0)),
         )
 
 
@@ -531,6 +539,7 @@ class Tracker:
             scale = (idx % cfg.rgbd_every_frame) / cfg.rgbd_every_frame
         else:
             scale = 1.0
+        scale *= cfg.bias_alpha
         bias_in = (
             self.event_bias if apply_bias else jnp.zeros((7,), jnp.float32)
         )
@@ -561,7 +570,13 @@ class Tracker:
         )
         self.last_losses = losses
         if calibrate:
-            self.event_bias = bias_out
+            if cfg.bias_ema > 0 and self.event_bias is not None:
+                self.event_bias = (
+                    cfg.bias_ema * self.event_bias
+                    + (1.0 - cfg.bias_ema) * bias_out
+                )
+            else:
+                self.event_bias = bias_out
         return c2w
 
     def end_of_window(self, idx: int, gt_color: jnp.ndarray, every_frame: int):

@@ -89,6 +89,12 @@ VARIANTS = {
     "Ep_bias_window": ("non_rgbd", "rgbd",
                        {"bias_correction": True, "bias_scale_mode": "window"}),
     "F_reference_plus_bias": (True, "event", {"bias_correction": True}),
+    # EMA-damped bias: average the probe across boundaries (cancels the
+    # probe's Adam-transient noise), apply at half strength, window-scaled
+    "E2_bias_ema_damped": ("non_rgbd", "rgbd",
+                           {"bias_correction": True, "bias_ema": 0.7,
+                            "bias_alpha": 0.5,
+                            "bias_scale_mode": "window"}),
 }
 
 
