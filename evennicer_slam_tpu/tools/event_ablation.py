@@ -36,7 +36,8 @@ import os
 
 
 def build_cfg(scene_dir: str, n_frames: int, H: int, W: int,
-              traj_jitter: float = 0.004, traj_seed: int = 7):
+              traj_jitter: float = 0.004, traj_seed: int = 7,
+              keyframe_every: int = None, traj_step: float = 0.015):
     import numpy as np
 
     from evennicer_slam_tpu.config import (
@@ -54,7 +55,7 @@ def build_cfg(scene_dir: str, n_frames: int, H: int, W: int,
     frag = make_synthetic_replica(
         scene_dir, n_frames=n_frames, H=H, W=W, fx=0.5 * W, fy=0.5 * W,
         bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
-        traj_step=0.015, traj_jitter=traj_jitter, traj_seed=traj_seed,
+        traj_step=traj_step, traj_jitter=traj_jitter, traj_seed=traj_seed,
     )
     cfg = load_config(default_config_path(nice=True))
     update_recursive(cfg, frag)
@@ -76,6 +77,13 @@ def build_cfg(scene_dir: str, n_frames: int, H: int, W: int,
         "mapping": {"mesh_freq": 10**9, "ckpt_freq": 10**9},
         "data": {"output": os.path.join(scene_dir, "out")},
     })
+    if keyframe_every is not None:
+        # sequences much longer than the 26-frame screen sweep more of the
+        # orbit than keyframe_every=50 was tuned for; denser keyframes keep
+        # the overlap selector anchored so the ablation measures the EVENT
+        # branch, not anchor starvation (measured: 100 frames at the
+        # reference cadence drift to 0.23 m ATE for every variant)
+        cfg["mapping"]["keyframe_every"] = keyframe_every
     return cfg
 
 
@@ -140,6 +148,14 @@ def main():
                         help=f"subset of {list(VARIANTS)} (default: all)")
     parser.add_argument("--net", default=None,
                         help="load this .npz and skip all training")
+    parser.add_argument("--keyframe_every", type=int, default=None)
+    parser.add_argument("--traj_step", type=float, default=0.015,
+                        help="orbit angle per frame. For sequences longer"
+                             " than the 26-frame screen, scale it down"
+                             " (0.015*26/frames) so the total sweep - and"
+                             " hence the keyframe-anchoring load - matches"
+                             " the validated workload; the per-frame jitter"
+                             " (what events correct) is unchanged")
     args = parser.parse_args()
 
     from evennicer_slam_tpu.utils.runtime import setup_jax
@@ -157,7 +173,9 @@ def main():
     H, W = args.hw
     seeds = [7 + 1000 * i for i in range(max(1, args.seeds))]
     cfg0 = build_cfg(args.scene, args.frames, H, W,
-                     traj_jitter=args.traj_jitter, traj_seed=seeds[0])
+                     traj_jitter=args.traj_jitter, traj_seed=seeds[0],
+                     keyframe_every=args.keyframe_every,
+                     traj_step=args.traj_step)
 
     # --- net: load or train once (on the first seed's scene) -------------
     if args.net:
@@ -211,6 +229,7 @@ def main():
         cfg = (cfg0 if seed == seeds[0] else build_cfg(
             args.scene + f"_s{seed}", args.frames, H, W,
             traj_jitter=args.traj_jitter, traj_seed=seed,
+            keyframe_every=args.keyframe_every, traj_step=args.traj_step,
         ))
         for name in names:
             activate, criterion, extra = VARIANTS[name]

@@ -153,12 +153,20 @@ class TestEventNetTraining:
         )
 
         params = init_eventnet(jax.random.PRNGKey(3))
+        a = np.asarray(params["inc"]["w1"])
+        # default storage is f16-quantized (halves the shipped-weights blob);
+        # loader casts back to f32 with ~2^-11 relative quantization
         p = str(tmp_path / "e.npz")
         save_eventnet_npz(params, p)
         back = load_eventnet_npz(p)
-        a = np.asarray(params["inc"]["w1"])
         b = np.asarray(back["inc"]["w1"])
-        np.testing.assert_allclose(a, b, atol=0)
+        assert b.dtype == np.float32
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+        # half=False roundtrips exactly
+        p32 = str(tmp_path / "e32.npz")
+        save_eventnet_npz(params, p32, half=False)
+        exact = load_eventnet_npz(p32)
+        np.testing.assert_allclose(a, np.asarray(exact["inc"]["w1"]), atol=0)
 
 
 class TestFullForwardParityVsReference:
