@@ -239,3 +239,43 @@ class TestCropPipeline:
         f = ds[0]
         assert f.color.shape == (16, 24, 3)
         assert f.depth.shape == (16, 24)
+
+
+class TestPrefetchingReader:
+    def _make(self, tmp_path, n=4):
+        from evennicer_slam_tpu.data.datasets import get_dataset
+        from evennicer_slam_tpu.data.prefetch import PrefetchingReader
+        from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
+        from evennicer_slam_tpu.config import load_config, update_recursive
+        import os
+        frag = make_synthetic_replica(str(tmp_path / "s"), n_frames=n, H=24,
+                                      W=32, fx=16.0, fy=16.0)
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        cfg = load_config(os.path.join(here, "configs", "nice_slam.yaml"))
+        update_recursive(cfg, frag)
+        return PrefetchingReader(get_dataset(cfg, None, cfg["scale"]))
+
+    def test_preload_pins_device_frames(self, tmp_path):
+        r = self._make(tmp_path)
+        r.preload_device(range(1, 4))
+        # pinned frames survive sequential reads and eviction
+        f1, dev1 = r.get_with_device(1)
+        f2, dev2 = r.get_with_device(2)
+        f3, dev3 = r.get_with_device(3)
+        for idx, (f, dev) in [(1, (f1, dev1)), (2, (f2, dev2)), (3, (f3, dev3))]:
+            assert dev[0].shape == f.color.shape
+            np.testing.assert_allclose(np.asarray(dev[0]), f.color, atol=1/254)
+            np.testing.assert_allclose(np.asarray(dev[1]), f.depth, atol=1e-6)
+        # pinned entries are still cached after being read
+        assert 1 in r._cache and 3 in r._cache
+
+    def test_host_only_reads_decode_ahead(self, tmp_path):
+        r = self._make(tmp_path)
+        f0 = r[0]
+        # the decode-ahead thread populated (or will populate) frame 1
+        if r._thread is not None:
+            r._thread.join()
+        assert 1 in r._cache
+        assert r._cache[1][1] is None  # no device upload for host-only reads
+        f1 = r[1]
+        assert f1.color.shape == f0.color.shape
