@@ -171,6 +171,20 @@ def marching_cubes(
     T = tri_edges.shape[0]
     faces = np.stack([inv[:T], inv[T : 2 * T], inv[2 * T :]], axis=1)
 
+    # Consistent outward winding: the 6-tet cube decomposition mixes tet
+    # parities, so the combinatorial case table alone cannot fix orientation.
+    # Orient each triangle so its normal points from the tet's inside corners
+    # (value > level) toward its outside corners — i.e. out of the solid.
+    p0, p1, p2 = verts_out
+    tri_n = np.cross(p1 - p0, p2 - p0)
+    tin = tet_in[a_idx, t_idx].astype(np.float64)  # [T, 4] inside mask
+    cpos = cell[:, None, :] + _CORNER_OFFSETS[tet_corner]  # [T, 4, 3]
+    w_in = tin / np.maximum(tin.sum(-1, keepdims=True), 1.0)
+    w_out = (1.0 - tin) / np.maximum((1.0 - tin).sum(-1, keepdims=True), 1.0)
+    outward = ((w_out - w_in)[..., None] * cpos).sum(1)  # [T, 3]
+    flip = (tri_n * outward).sum(-1) < 0
+    faces[flip] = faces[flip][:, [0, 2, 1]]
+
     # drop degenerate faces (duplicate vertices within a face)
     ok = (
         (faces[:, 0] != faces[:, 1])

@@ -37,6 +37,27 @@ class TestMarching:
         assert faces.max() < len(verts)
         assert faces.min() >= 0
 
+    def test_consistent_outward_winding(self):
+        """Every face winds so its normal points out of the solid
+        (value > level side). Checked on a sphere — face normal vs the
+        radial direction at the face centroid — and via the divergence
+        theorem: the signed volume of the closed surface must be positive
+        and close to the true ball volume."""
+        vol, lin = sphere_volume(32)
+        sp = lin[1] - lin[0]
+        verts, faces = marching_cubes(vol, spacing=(sp, sp, sp))
+        verts = verts + lin[0]
+        t = verts[faces]  # [F, 3, 3]
+        fn = np.cross(t[:, 1] - t[:, 0], t[:, 2] - t[:, 0])
+        centroid = t.mean(1)
+        outward = np.einsum("ij,ij->i", fn, centroid)
+        assert (outward > 0).all()
+        signed_vol = np.einsum(
+            "ij,ij->i", t[:, 0], np.cross(t[:, 1], t[:, 2])
+        ).sum() / 6.0
+        true = 4.0 / 3.0 * np.pi * 0.6**3
+        assert abs(signed_vol - true) / true < 0.05
+
     def test_closed_surface_area(self):
         vol, lin = sphere_volume(48)
         sp = lin[1] - lin[0]

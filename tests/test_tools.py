@@ -141,10 +141,18 @@ class TestRecon:
         assert res2["depth L1 (cm)"] > res["depth L1 (cm)"]
 
     def test_2d_metric_unseen_rejection(self, tmp_path):
-        # room-scale sphere: the protocol's +0.4 m camera z-raise (reference
-        # get_cam_position, eval_recon.py:125) must stay inside the mesh
-        m = sphere_mesh(r=0.5, n=24)
-        m.vertices = m.vertices * 4.0  # radius 2 m
+        # Room-scale BOX: the protocol samples cameras in the OBB scaled by
+        # (0.3, 0.7, 0.7) + a 0.4 m z-raise (reference get_cam_position,
+        # eval_recon.py:118-127). A box's scaled OBB is strictly interior, so
+        # every sampled view is inside the room and must see some wall — a
+        # sphere would leak corner views outside (OBB corner norm = 1.04 r).
+        lin = np.linspace(-1, 1, 24)
+        X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
+        vol = 0.7 - np.maximum(np.maximum(abs(X), abs(Y)), abs(Z))
+        sp = lin[1] - lin[0]
+        v, f = marching_cubes(vol, spacing=(sp, sp, sp))
+        m = Mesh(v + lin[0], f)
+        m.vertices = m.vertices * 4.0  # half-extent 2.8 m
         p = str(tmp_path / "s.ply")
         m.export(p)
         # every surface point marked unseen -> every view rejected -> nan
@@ -193,3 +201,88 @@ class TestViz:
             assert os.path.exists(p)
         gif = assemble_gif(str(frame_dir), str(tmp_path / "replay.gif"))
         assert gif and os.path.getsize(gif) > 0
+
+
+class TestVizServer:
+    def test_endpoints_and_live_reload(self, tmp_path):
+        """HTTP viewer server (tools/viz_server.py, the interactive frontend):
+        /state.json carries trajectories + current pose, /mesh.bin round-trips
+        the packed mesh, and a new mesh file bumps mesh_version on refresh —
+        the reference SLAMFrontend's live-reload behavior
+        (reference src/tools/viz.py:14-209)."""
+        import json
+        import struct
+        import urllib.request
+
+        from evennicer_slam_tpu.tools.viz_server import (
+            pack_mesh, serve, vertex_normals,
+        )
+
+        # fake run output: ckpts/*.npz + mesh/*.ply
+        out = tmp_path / "run"
+        (out / "ckpts").mkdir(parents=True)
+        (out / "mesh").mkdir()
+        n = 5
+        est = np.tile(np.eye(4, dtype=np.float32), (n, 1, 1))
+        est[:, 0, 3] = np.linspace(0, 0.4, n)
+        gt = est.copy()
+        gt[:, 1, 3] += 0.02
+        np.savez(out / "ckpts" / "00004.npz", estimate_c2w_list=est,
+                 gt_c2w_list=gt, idx=np.asarray(4))
+        m = sphere_mesh(r=0.5, n=12)
+        m.export(str(out / "mesh" / "00004.ply"))
+
+        httpd, watcher = serve(str(out), port=0, poll_s=60.0, blocking=False)
+        try:
+            base = f"http://127.0.0.1:{httpd.server_address[1]}"
+            page = urllib.request.urlopen(base + "/").read().decode()
+            assert "webgl" in page.lower()
+
+            st = json.loads(
+                urllib.request.urlopen(base + "/state.json").read())
+            assert st["idx"] == 4
+            assert len(st["est"]) == n and len(st["gt"]) == n
+            np.testing.assert_allclose(
+                np.asarray(st["cur_c2w"]), est[-1], atol=1e-4)
+            assert st["mesh_version"] == 1
+            assert st["n_verts"] == len(m.vertices)
+
+            raw = urllib.request.urlopen(base + "/mesh.bin").read()
+            magic, ver, nv, nf = struct.unpack_from("<IIII", raw, 0)
+            assert magic == 0x4D455348 and ver == 1
+            assert nv == len(m.vertices) and nf == len(m.faces)
+            pos = np.frombuffer(raw, "<f4", 3 * nv, 16).reshape(-1, 3)
+            np.testing.assert_allclose(pos, m.vertices, atol=1e-5)
+            nrm = np.frombuffer(raw, "<f4", 3 * nv, 16 + 12 * nv)
+            assert np.isfinite(nrm).all()
+            # sphere normals point away from the center
+            nrm = nrm.reshape(-1, 3)
+            outward = np.einsum("ij,ij->i", nrm, pos)
+            assert (outward > 0).mean() > 0.95
+
+            # live reload: newer ckpt + mesh appear -> version bumps
+            np.savez(out / "ckpts" / "00009.npz", estimate_c2w_list=est,
+                     gt_c2w_list=gt, idx=np.asarray(9))
+            m.export(str(out / "mesh" / "00009.ply"))
+            watcher.refresh()
+            st2 = json.loads(
+                urllib.request.urlopen(base + "/state.json").read())
+            assert st2["idx"] == 9 and st2["mesh_version"] == 2
+        finally:
+            httpd.shutdown()
+            watcher.stop()
+
+    def test_pack_mesh_empty_and_normals_degenerate(self):
+        from evennicer_slam_tpu.tools.viz_server import (
+            _EmptyMesh, pack_mesh, vertex_normals,
+        )
+
+        raw = pack_mesh(_EmptyMesh(), 0)
+        assert len(raw) == 16
+        # unreferenced vertex gets the fallback normal, finite everywhere
+        v = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5]], float)
+        f = np.array([[0, 1, 2]])
+        n = vertex_normals(v, f)
+        assert np.isfinite(n).all()
+        np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1, atol=1e-5)
+        np.testing.assert_allclose(n[3], [0, 0, 1])
