@@ -154,6 +154,47 @@ def _load_latest(output: str):
     )
 
 
+def replay(output: str, save_rendering: bool = False, gif: bool = False,
+           follow: bool = False, poll_s: float = 5.0, frame_step: int = 10):
+    """Replay (or follow) a run's artifacts — the offline frontend shared by
+    this CLI and the root ``visualizer.py``."""
+    if follow:
+        seen = None
+        print(f"following {output} (ctrl-c to stop)")
+        while True:
+            state = _load_latest(output)
+            if state is not None and state[0] != seen:
+                seen, est, gt, mesh_path, idx = state
+                out = os.path.join(output, "replay.png")
+                draw_trajectory(est, gt, mesh_path, out,
+                                title=f"frames 0..{idx}")
+                print(f"updated {out} (frame {idx})")
+            time.sleep(poll_s)
+
+    state = _load_latest(output)
+    if state is None:
+        raise SystemExit(f"no checkpoints under {output}/ckpts")
+    _, est, gt, mesh_path, idx = state
+
+    if save_rendering or gif:
+        vid_dir = os.path.join(output, "vis", "replay")
+        os.makedirs(vid_dir, exist_ok=True)
+        for k in range(1, idx + 1, frame_step):
+            draw_trajectory(
+                est[: k + 1], gt[: k + 1], mesh_path,
+                os.path.join(vid_dir, f"{k:05d}.png"), title=f"frame {k}",
+            )
+        if gif:
+            out = assemble_gif(vid_dir, os.path.join(output, "replay.gif"))
+            print("wrote", out)
+        else:
+            print(f"wrote replay frames to {vid_dir} (assemble with ffmpeg)")
+    else:
+        out = os.path.join(output, "replay.png")
+        draw_trajectory(est, gt, mesh_path, out, title=f"frames 0..{idx}")
+        print("wrote", out)
+
+
 def main():
     from evennicer_slam_tpu.config import default_config_path, load_config
 
@@ -173,42 +214,8 @@ def main():
     args = parser.parse_args()
     cfg = load_config(args.config, default_config_path(args.nice))
     output = args.output or cfg["data"]["output"]
-
-    if args.follow:
-        seen = None
-        print(f"following {output} (ctrl-c to stop)")
-        while True:
-            state = _load_latest(output)
-            if state is not None and state[0] != seen:
-                seen, est, gt, mesh_path, idx = state
-                out = os.path.join(output, "replay.png")
-                draw_trajectory(est, gt, mesh_path, out,
-                                title=f"frames 0..{idx}")
-                print(f"updated {out} (frame {idx})")
-            time.sleep(args.poll_s)
-
-    state = _load_latest(output)
-    if state is None:
-        raise SystemExit(f"no checkpoints under {output}/ckpts")
-    _, est, gt, mesh_path, idx = state
-
-    if args.save_rendering or args.gif:
-        vid_dir = os.path.join(output, "vis", "replay")
-        os.makedirs(vid_dir, exist_ok=True)
-        for k in range(1, idx + 1, args.frame_step):
-            draw_trajectory(
-                est[: k + 1], gt[: k + 1], mesh_path,
-                os.path.join(vid_dir, f"{k:05d}.png"), title=f"frame {k}",
-            )
-        if args.gif:
-            gif = assemble_gif(vid_dir, os.path.join(output, "replay.gif"))
-            print("wrote", gif)
-        else:
-            print(f"wrote replay frames to {vid_dir} (assemble with ffmpeg)")
-    else:
-        out = os.path.join(output, "replay.png")
-        draw_trajectory(est, gt, mesh_path, out, title=f"frames 0..{idx}")
-        print("wrote", out)
+    replay(output, save_rendering=args.save_rendering, gif=args.gif,
+           follow=args.follow, poll_s=args.poll_s, frame_step=args.frame_step)
 
 
 if __name__ == "__main__":

@@ -26,6 +26,10 @@ def main():
                         help="resume from the latest checkpoint")
     parser.add_argument("--end_frame", type=int, default=None,
                         help="stop after this many frames (debugging)")
+    parser.add_argument("--viz_port", type=int, default=None,
+                        help="serve the interactive browser viewer on this "
+                             "port for the duration of the run (the live "
+                             "frontend of the reference's SLAMFrontend)")
     nice_parser = parser.add_mutually_exclusive_group(required=False)
     nice_parser.add_argument("--nice", dest="nice", action="store_true")
     nice_parser.add_argument("--imap", dest="nice", action="store_false")
@@ -49,6 +53,11 @@ def main():
         if ckpt:
             start = CheckpointLogger.restore(slam, ckpt)
             print(f"Resumed from {ckpt} at frame {start}")
+
+    if args.viz_port is not None:
+        from evennicer_slam_tpu.tools.viz_server import serve
+
+        serve(slam.output, port=args.viz_port, blocking=False)
 
     # Resumed runs go through run() too, so the mesh/ckpt cadence and the
     # final final_mesh.ply / final_mesh_eval_rec.ply artifacts are identical

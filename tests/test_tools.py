@@ -272,6 +272,30 @@ class TestVizServer:
             httpd.shutdown()
             watcher.stop()
 
+    def test_root_visualizer_cli_replay(self, tmp_path, monkeypatch):
+        """Root visualizer.py (reference visualizer.py:15-96 parity) routes
+        to the offline replay frontend and writes replay.png."""
+        import sys
+
+        sys.path.insert(0, "/root/repo")
+        try:
+            import visualizer
+        finally:
+            sys.path.pop(0)
+
+        out = tmp_path / "run"
+        (out / "ckpts").mkdir(parents=True)
+        est = np.tile(np.eye(4, dtype=np.float32), (3, 1, 1))
+        est[:, 0, 3] = [0, 0.1, 0.2]
+        np.savez(out / "ckpts" / "00002.npz", estimate_c2w_list=est,
+                 gt_c2w_list=est, idx=np.asarray(2))
+        cfg = tmp_path / "c.yaml"
+        cfg.write_text(f"data:\n  output: {out}\n")
+        monkeypatch.setattr(
+            "sys.argv", ["visualizer.py", str(cfg)])
+        visualizer.main()
+        assert (out / "replay.png").exists()
+
     def test_pack_mesh_empty_and_normals_degenerate(self):
         from evennicer_slam_tpu.tools.viz_server import (
             _EmptyMesh, pack_mesh, vertex_normals,
