@@ -84,6 +84,7 @@ class PrefetchingReader:
         self._pinned: set = set()
         self._thread: Optional[threading.Thread] = None
         self._upload = upload
+        self._last_idx: Optional[int] = None
         self.has_events = getattr(reader, "has_events", False)
 
     def preload_device(self, indices):
@@ -141,13 +142,20 @@ class PrefetchingReader:
             entry = (frame, _upload(frame) if need_device else None)
         # decode-ahead helps ALL sequential consumers (training tools, eval,
         # resume); the device upload piggybacks only when this caller wanted
-        # device arrays too
+        # device arrays too. Only FORWARD-sequential access spawns it: a
+        # backward sweep (event re-integration reads idx, idx-1, ...) or a
+        # repeated read would otherwise decode-ahead a frame the consumer
+        # never wants and serialize on joining it next fetch
+        # "forward" = any upward move, so the SLAM loop's next forward read
+        # after a boundary sweep resumes the pipeline immediately
+        forward = self._last_idx is None or idx > self._last_idx
+        self._last_idx = idx
         nxt = idx + 1
         with self._lock:
             nxt_ready = nxt in self._cache and (
                 not need_device or self._cache[nxt][1] is not None
             )
-        if nxt < len(self._reader) and not nxt_ready:
+        if forward and nxt < len(self._reader) and not nxt_ready:
             self._thread = threading.Thread(
                 target=self._prefetch, args=(nxt, need_device), daemon=True
             )

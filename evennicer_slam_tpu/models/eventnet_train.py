@@ -294,8 +294,15 @@ def save_eventnet_npz(params: Dict, path: str, half: bool = True) -> None:
     flat = {}
     _flatten_tree(params, "eventnet", flat)
     if half:
+        # BN running stats flatten to "....bnN.m" / "....bnN.v" (see _bn's
+        # param dict) — match those keys, not torch's "running_mean" naming
+        def _is_bn_stat(k: str) -> bool:
+            parts = k.rsplit(".", 2)
+            return (len(parts) == 3 and parts[1].startswith("bn")
+                    and parts[2] in ("m", "v"))
+
         flat = {
-            k: (v if ("var" in k or "mean" in k or v.dtype != np.float32)
+            k: (v if (_is_bn_stat(k) or v.dtype != np.float32)
                 else v.astype(np.float16))
             for k, v in flat.items()
         }

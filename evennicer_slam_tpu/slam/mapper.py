@@ -504,24 +504,55 @@ class Mapper:
 
     # -- window selection ---------------------------------------------------
 
-    def select_window(self, gt_color, gt_depth, cur_c2w) -> List[int]:
-        """Indices into the keyframe store; -1 denotes the current frame."""
+    def select_window(self, gt_color, gt_depth, cur_c2w,
+                      selection: Optional[str] = None,
+                      rng=None) -> List[int]:
+        """Indices into the keyframe store; -1 denotes the current frame.
+
+        ``selection``/``rng`` default to this mapper's own policy/stream;
+        the fused coarse term passes ('global', rng_coarse) — the
+        reference forces global selection for its coarse mapper
+        (src/Mapper.py:83-85) — so fusing cannot perturb the fine
+        selection RNG."""
         kf = self.keyframes
+        selection = self.selection if selection is None else selection
+        rng = self.rng if rng is None else rng
         if len(kf) == 0:
             frames: List[int] = []
         else:
             num = self.cfg.window_size - 2
-            if self.selection == "global":
-                frames = random_select(len(kf) - 1, num, self.rng)
+            if selection == "global":
+                frames = random_select(len(kf) - 1, num, rng)
             else:
                 frames = keyframe_selection_overlap(
                     np.asarray(gt_color), np.asarray(gt_depth), cur_c2w,
-                    kf.frames[:-1], num, self.cam, rng=self.rng,
+                    kf.frames[:-1], num, self.cam, rng=rng,
                 )
         if len(kf) > 0:
             frames = frames + [len(kf) - 1]
         frames = [int(f) for f in frames] + [-1]
         return frames
+
+    def _assemble_window(self, frames: List[int], cur_color_dev,
+                         cur_depth_dev, cur_c2w):
+        """Stack window images from the keyframe device cache (current frame
+        from the pipeline's upload) + estimated c2w matrices on host."""
+        col_list, dep_list = [], []
+        for f in frames:
+            if f == -1:
+                col_list.append(cur_color_dev)
+                dep_list.append(cur_depth_dev)
+            else:
+                c, d = self.keyframes.device_images(f)
+                col_list.append(c)
+                dep_list.append(d)
+        fixed_c2w = np.stack(
+            [
+                cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"]
+                for f in frames
+            ]
+        ).astype(np.float32)
+        return jnp.stack(col_list), jnp.stack(dep_list), fixed_c2w
 
     # -- main entry ---------------------------------------------------------
 
@@ -580,57 +611,21 @@ class Mapper:
         else:
             cur_color_dev = jnp.asarray(np.asarray(cur_gt_color))
             cur_depth_dev = jnp.asarray(np.asarray(cur_gt_depth))
-        col_list, dep_list = [], []
-        for f in window:
-            if f == -1:
-                col_list.append(cur_color_dev)
-                dep_list.append(cur_depth_dev)
-            else:
-                c, d = self.keyframes.device_images(f)
-                col_list.append(c)
-                dep_list.append(d)
-        colors = jnp.stack(col_list)
-        depths = jnp.stack(dep_list)
-        fixed_c2w = np.stack(
-            [
-                cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"]
-                for f in window
-            ]
-        ).astype(np.float32)
+        colors, depths, fixed_c2w = self._assemble_window(
+            window, cur_color_dev, cur_depth_dev, cur_c2w)
 
-        # fused coarse-mapper term: its own globally-random window
-        # (reference forces 'global' selection for the coarse mapper,
-        # src/Mapper.py:83-85), assembled from the same device image cache
+        # fused coarse-mapper term: its own globally-random window, assembled
+        # from the same device image cache
         fuse_coarse = bool(
             self.fuse_coarse and self.settings.nice
             and not self.coarse_mapper and not color_refine
         )
         if fuse_coarse:
-            kf = self.keyframes
-            if len(kf) == 0:
-                c_frames: List[int] = []
-            else:
-                c_frames = random_select(
-                    len(kf) - 1, self.cfg.window_size - 2, self.rng_coarse
-                ) + [len(kf) - 1]
-            c_frames = [int(f) for f in c_frames] + [-1]
-            col_c, dep_c = [], []
-            for f in c_frames:
-                if f == -1:
-                    col_c.append(cur_color_dev)
-                    dep_c.append(cur_depth_dev)
-                else:
-                    c, d = self.keyframes.device_images(f)
-                    col_c.append(c)
-                    dep_c.append(d)
-            colors_c = jnp.stack(col_c)
-            depths_c = jnp.stack(dep_c)
-            fixed_c2w_c = jnp.asarray(np.stack(
-                [
-                    cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"]
-                    for f in c_frames
-                ]
-            ).astype(np.float32))
+            c_frames = self.select_window(
+                None, None, None, selection="global", rng=self.rng_coarse)
+            colors_c, depths_c, fc2w_c = self._assemble_window(
+                c_frames, cur_color_dev, cur_depth_dev, cur_c2w)
+            fixed_c2w_c = jnp.asarray(fc2w_c)
             pix_per_img_c = cfg.pixels // len(c_frames)
         else:
             colors_c, depths_c = colors, depths

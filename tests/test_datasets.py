@@ -279,3 +279,21 @@ class TestPrefetchingReader:
         assert r._cache[1][1] is None  # no device upload for host-only reads
         f1 = r[1]
         assert f1.color.shape == f0.color.shape
+
+    def test_backward_sweep_spawns_no_decode_ahead(self, tmp_path):
+        # event re-integration reads idx, idx-1, ...: a forward decode-ahead
+        # per backward read would waste a full-frame decode and serialize on
+        # joining it at the next fetch
+        r = self._make(tmp_path)
+        r[0], r[1], r[2], r[3]  # forward warmup, last_idx=3
+        if r._thread is not None:
+            r._thread.join()
+            r._thread = None
+        r._cache.clear()
+        r._pinned.clear()
+        for idx in (3, 2, 1, 0):
+            r[idx]
+            assert r._thread is None, f"spawned decode-ahead at idx {idx}"
+        # the next forward read resumes the pipeline
+        r[1]
+        assert r._thread is not None

@@ -162,6 +162,23 @@ class TestEventNetTraining:
         b = np.asarray(back["inc"]["w1"])
         assert b.dtype == np.float32
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-6)
+        # BN running stats must survive quantization in f32: variances can
+        # underflow f16's 6.1e-5 normal floor (rsqrt(v+eps) would then
+        # inflate activations); stats roundtrip bitwise, weights are f16
+        raw = dict(np.load(p))
+        for k, v in raw.items():
+            leaf = k.rsplit(".", 2)
+            is_bn_stat = (len(leaf) == 3 and leaf[1].startswith("bn")
+                          and leaf[2] in ("m", "v"))
+            assert v.dtype == (np.float32 if is_bn_stat else np.float16), k
+        tiny = jax.tree_util.tree_map(lambda x: x, params)
+        tiny["inc"]["bn1"]["v"] = jnp.full_like(tiny["inc"]["bn1"]["v"], 1e-6)
+        pt = str(tmp_path / "tinyvar.npz")
+        save_eventnet_npz(tiny, pt)
+        back_t = load_eventnet_npz(pt)
+        np.testing.assert_allclose(
+            np.asarray(back_t["inc"]["bn1"]["v"]), np.float32(1e-6),
+            rtol=0, atol=0)
         # half=False roundtrips exactly
         p32 = str(tmp_path / "e32.npz")
         save_eventnet_npz(params, p32, half=False)

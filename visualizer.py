@@ -25,7 +25,10 @@ def main():
     )
     parser.add_argument("config", type=str, help="Path to config file.")
     parser.add_argument("--input_folder", type=str,
-                        help="input folder, overrides the config")
+                        help="accepted for reference-CLI compatibility; this"
+                             " visualizer replays run artifacts only"
+                             " ($OUTPUT/ckpts + mesh) and never reads the"
+                             " input dataset")
     parser.add_argument("--output", type=str,
                         help="output folder, overrides the config")
     nice_parser = parser.add_mutually_exclusive_group(required=False)
@@ -50,6 +53,9 @@ def main():
 
     cfg = load_config(args.config, default_config_path(args.nice))
     output = args.output or cfg["data"]["output"]
+    if args.input_folder:
+        print("note: --input_folder is ignored — the visualizer replays run"
+              f" artifacts from {output} and never reads the input dataset")
 
     if args.serve:
         from evennicer_slam_tpu.tools.viz_server import serve
