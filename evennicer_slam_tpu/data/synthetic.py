@@ -38,6 +38,18 @@ def _wall_texture(u: np.ndarray, v: np.ndarray, face: int) -> np.ndarray:
     pat += 0.15 * np.sin(2.5 * np.pi * v) + 0.1 * np.cos(3.5 * np.pi * u)
     check = 0.12 * (((u * 8).astype(int) + (v * 8).astype(int)) % 2)
     c = base[None, :] * (pat + check)[:, None]
+    # monotonic per-channel ramps make every wall position locally UNIQUE at
+    # low frequency: periodic texture alone lets the pose slide along a wall
+    # once the map's color render is still blurry (high-frequency content
+    # washes out; measured 2.5 cm/frame gauge drift in ceiling-corner views),
+    # while a ramp survives any blur. Channel directions differ per face so
+    # u and v are separately observable in color.
+    ramp = np.stack(
+        [0.22 * (u - 0.5), 0.22 * (v - 0.5), 0.11 * (v - u)], axis=1
+    )
+    if face % 2 == 1:  # vary sign across opposite faces
+        ramp = -ramp
+    c = c + np.roll(ramp, face // 2, axis=1)
     return np.clip(c, 0.0, 1.0)
 
 
@@ -69,6 +81,37 @@ def scene_primitives(bound: np.ndarray):
         # floating lamp (mid-air occluder)
         {"type": "sphere", "c": rel([0.50, 0.50, 0.75]), "r": 0.06 * rmin,
          "color": np.array([0.30, 0.85, 0.75]), "pat": 13.0},
+        # --- surface relief: every wall/ceiling/floor fronto view must
+        # contain a depth discontinuity, or in-plane translation is
+        # unconstrained by depth and the const-speed motion model integrates
+        # open-loop through the stretch (measured: 2 cm/frame slide through
+        # a 40-frame ceiling-only window). Real rooms have relief everywhere;
+        # picture frames / shelves / beams give the synthetic scene the same
+        # property.
+        # pictures on the -y and +y walls
+        {"type": "box", "lo": rel([0.15, 0.0, 0.45]), "hi": rel([0.35, 0.03, 0.75]),
+         "color": np.array([0.85, 0.75, 0.40]), "pat": 15.0},
+        {"type": "box", "lo": rel([0.60, 0.0, 0.35]), "hi": rel([0.85, 0.025, 0.70]),
+         "color": np.array([0.45, 0.70, 0.45]), "pat": 17.0},
+        {"type": "box", "lo": rel([0.20, 0.97, 0.40]), "hi": rel([0.45, 1.0, 0.72]),
+         "color": np.array([0.60, 0.50, 0.85]), "pat": 19.0},
+        {"type": "box", "lo": rel([0.65, 0.975, 0.30]), "hi": rel([0.90, 1.0, 0.62]),
+         "color": np.array([0.80, 0.45, 0.35]), "pat": 21.0},
+        # pictures/shelves on the -x and +x walls
+        {"type": "box", "lo": rel([0.0, 0.25, 0.50]), "hi": rel([0.03, 0.50, 0.80]),
+         "color": np.array([0.40, 0.80, 0.70]), "pat": 23.0},
+        {"type": "box", "lo": rel([0.97, 0.30, 0.35]), "hi": rel([1.0, 0.55, 0.75]),
+         "color": np.array([0.75, 0.65, 0.30]), "pat": 25.0},
+        {"type": "box", "lo": rel([0.965, 0.70, 0.30]), "hi": rel([1.0, 0.90, 0.60]),
+         "color": np.array([0.50, 0.40, 0.75]), "pat": 27.0},
+        # ceiling beam (full y span) + hanging lamp box
+        {"type": "box", "lo": rel([0.45, 0.0, 0.93]), "hi": rel([0.55, 1.0, 1.0]),
+         "color": np.array([0.70, 0.55, 0.40]), "pat": 29.0},
+        {"type": "box", "lo": rel([0.72, 0.65, 0.82]), "hi": rel([0.78, 0.72, 1.0]),
+         "color": np.array([0.85, 0.85, 0.55]), "pat": 31.0},
+        # floor ottoman (thick rug)
+        {"type": "box", "lo": rel([0.25, 0.45, 0.0]), "hi": rel([0.60, 0.75, 0.08]),
+         "color": np.array([0.55, 0.30, 0.30]), "pat": 33.0},
     ]
 
 
@@ -314,11 +357,17 @@ def make_synthetic_replica(
     traj_seed: int = 7,
     furnished: bool = False,
     traj_kwargs: Optional[Dict] = None,
+    reuse_if_current: bool = False,
 ) -> Dict:
     """Write a Replica-format dataset (+ event folder) and return a config
     fragment describing it. Layout matches reference expectations:
     ``results/frame*.png``, ``results/depth*.png`` (16-bit, x6553.5),
     ``traj.txt`` (pre-flip poses), ``events/*frame*.png`` ([pos, neg, 0] BGR).
+
+    With ``reuse_if_current`` an existing directory is kept when it matches
+    the requested parameters (frame count, trajectory, and a frame-0 render
+    comparison that detects scene-content code changes) — full-resolution
+    generation is minutes of host ray tracing per hundred frames.
     """
     if bound is None:
         bound = np.array([[-1.2, 1.2], [-1.0, 1.0], [-0.8, 0.8]], np.float32)
@@ -327,6 +376,14 @@ def make_synthetic_replica(
     ev_dir = os.path.join(out_dir, "events")
     os.makedirs(res, exist_ok=True)
     os.makedirs(ev_dir, exist_ok=True)
+
+    if reuse_if_current:
+        frag = _reuse_scene_if_current(
+            out_dir, res, ev_dir, n_frames, H, W, fx, fy, cx, cy, bound,
+            traj_step, traj_jitter, traj_seed, furnished, traj_kwargs,
+        )
+        if frag is not None:
+            return frag
     # remove stale frames from a previous generation with a different length
     import glob as _glob
 
@@ -373,6 +430,62 @@ def make_synthetic_replica(
     with open(os.path.join(out_dir, "traj.txt"), "w") as f:
         f.write("\n".join(traj_lines) + "\n")
 
+    return _scene_frag(out_dir, ev_dir, H, W, fx, fy, cx, cy, bound)
+
+
+def _reuse_scene_if_current(
+    out_dir, res, ev_dir, n_frames, H, W, fx, fy, cx, cy, bound,
+    traj_step, traj_jitter, traj_seed, furnished, traj_kwargs,
+) -> Optional[Dict]:
+    """Return the config fragment for an on-disk scene iff it matches the
+    requested parameters; None forces regeneration. Matching is checked
+    against the artifacts themselves: frame/depth/event counts, the stored
+    trajectory vs a freshly computed one, and a re-render of frame 0
+    compared pixel-exactly — so any change to the scene-content code
+    (textures, primitives, shading) invalidates the cache."""
+    traj_path = os.path.join(out_dir, "traj.txt")
+    if not os.path.exists(traj_path):
+        return None
+    n_have = len(
+        [f for f in os.listdir(res) if f.startswith("frame")]
+    ) if os.path.isdir(res) else 0
+    n_ev = len(os.listdir(ev_dir)) if os.path.isdir(ev_dir) else 0
+    if n_have != n_frames or n_ev != n_frames - 1:
+        return None
+    try:
+        traj = np.loadtxt(traj_path).reshape(-1, 4, 4)
+    except ValueError:
+        return None
+    if len(traj) != n_frames:
+        return None
+    center = bound.mean(axis=1)
+    poses = circular_trajectory(n_frames, center, step=traj_step,
+                                jitter=traj_jitter, jitter_seed=traj_seed,
+                                **(traj_kwargs or {}))
+    raw0 = poses.copy()
+    raw0[:, :3, 1] *= -1
+    raw0[:, :3, 2] *= -1
+    # traj.txt rounds to 9 decimals
+    if not np.allclose(traj, raw0, atol=2e-9):
+        return None
+    prims = scene_primitives(bound) if furnished else None
+    color, depth = render_box_views(poses[0], H, W, fx, fy, cx, cy, bound,
+                                    prims=prims)
+    disk_c = cv2.cvtColor(
+        cv2.imread(os.path.join(res, "frame000000.png")), cv2.COLOR_BGR2RGB
+    )
+    disk_d = cv2.imread(os.path.join(res, "depth000000.png"), cv2.IMREAD_UNCHANGED)
+    if disk_c is None or disk_d is None or disk_c.shape[:2] != (H, W):
+        return None
+    if not np.array_equal(disk_c, (color * 255).astype(np.uint8)):
+        return None
+    want_d = np.clip(depth * PNG_DEPTH_SCALE, 0, 65535).astype(np.uint16)
+    if not np.array_equal(disk_d, want_d):
+        return None
+    return _scene_frag(out_dir, ev_dir, H, W, fx, fy, cx, cy, bound)
+
+
+def _scene_frag(out_dir, ev_dir, H, W, fx, fy, cx, cy, bound) -> Dict:
     margin = 0.02
     cfg_bound = (bound + np.array([-margin, margin])).tolist()
     return {

@@ -102,6 +102,22 @@ class MapperConfig(NamedTuple):
             )
             for s in ("coarse", "middle", "fine", "color")
         ) if "stage" in m else ()
+        if m["keyframe_every"] % m["every_frame"] != 0:
+            import math
+            import warnings
+
+            eff = math.lcm(m["keyframe_every"], m["every_frame"])
+            warnings.warn(
+                f"mapping.keyframe_every={m['keyframe_every']} is not a"
+                f" multiple of mapping.every_frame={m['every_frame']}:"
+                " keyframes are only added at mapped frames (reference"
+                " src/Mapper.py:830-835 checks idx % keyframe_every inside"
+                f" the mapping call), so the EFFECTIVE cadence is"
+                f" lcm={eff} frames. Mesh extraction bounds and keyframe"
+                " windows are built from keyframes only — a sparse registry"
+                " silently discards mapped regions at meshing time.",
+                stacklevel=2,
+            )
         return MapperConfig(
             pixels=m["pixels"],
             iters=m["iters"],

@@ -41,6 +41,12 @@ def main():
              " default is the furnished scene (boxes, spheres, occluders)"
              " with a coverage trajectory observing most of the GT surface",
     )
+    parser.add_argument("--reuse_scene", action="store_true",
+                        help="keep an existing --scene directory when it"
+                             " matches the requested parameters (verified"
+                             " against the artifacts incl. a frame-0"
+                             " re-render); skips minutes of host ray"
+                             " tracing on reruns")
     parser.add_argument("--keyframe_every", type=int, default=None,
                         help="override mapping.keyframe_every (the coverage"
                              " trajectory pans faster than the reference's"
@@ -73,14 +79,17 @@ def main():
     # surface (the old orbit saw 14%; completion was coverage-limited).
     # Parameters chosen by an offline sweep of per-frame view rotation vs
     # coverage: this shape holds 0.50 deg/frame mean (0.72 max) — with
-    # keyframe_every=16 that is the same content turnover per keyframe
-    # interval (~8 deg) as the reference's real-data regime (~0.2 deg/frame
-    # x keyframe_every=50) — and reaches ~80% of the furnished GT surface
-    # at --frames 1200, ~75% at 900, ~50% at 300 (pan length scales with
-    # frame count). An earlier 5.5x-pan variant hit 81% in 300 frames but
-    # rotated 2.1 deg/frame mean — beyond any trackable regime (measured
-    # 0.21 m ATE); coverage must come from a longer sequence, not a faster
-    # sweep.
+    # keyframe_every=15 that is the same content turnover per keyframe
+    # interval (~7.5 deg) as the reference's real-data regime (~0.2 deg/frame
+    # x keyframe_every=50) — and observes ~70% of the furnished GT surface
+    # at --frames 1200 (pan length scales with frame count). An earlier
+    # 5.5x-pan variant hit 81% in 300 frames but rotated 2.1 deg/frame mean
+    # — beyond any trackable regime (measured 0.21 m ATE); coverage must
+    # come from sequence length, not a faster sweep. The scene's surface
+    # RELIEF (see data/synthetic.scene_primitives) is load-bearing: without
+    # a depth discontinuity in view, in-plane translation is depth-
+    # unconstrained and the const-speed motion model integrates open-loop
+    # (measured 2 cm/frame slide through a 40-frame ceiling-only stretch).
     traj_kwargs = (
         {"gaze_mult": 1.8, "pitch_base": 0.0, "pitch_amp": 1.5,
          "pitch_freq": 3.0}
@@ -89,7 +98,7 @@ def main():
     frag = make_synthetic_replica(
         args.scene, n_frames=args.frames, H=H, W=W, fx=0.5 * W, fy=0.5 * W,
         bound=bound, traj_step=step, furnished=furnished,
-        traj_kwargs=traj_kwargs,
+        traj_kwargs=traj_kwargs, reuse_if_current=args.reuse_scene,
     )
     cfg = load_config(default_config_path(nice=True))
     update_recursive(cfg, frag)
@@ -102,8 +111,13 @@ def main():
     }
     if args.keyframe_every is None and furnished:
         # the 3x gaze pan turns over view content ~3x faster than the
-        # reference walkthroughs keyframe_every=50 was tuned for
-        overrides["mapping"]["keyframe_every"] = 16
+        # reference walkthroughs keyframe_every=50 was tuned for. MUST be a
+        # multiple of mapping.every_frame (5): keyframes are only added at
+        # mapped frames, so e.g. 16 degrades to an effective lcm(16,5)=80
+        # cadence — 4 keyframes in 300 frames — and the mesher (whose
+        # extraction hull and seen-culling come from keyframes) discards
+        # most of the mapped scene (measured: completion_seen 43 cm).
+        overrides["mapping"]["keyframe_every"] = 15
     elif args.keyframe_every is not None:
         overrides["mapping"]["keyframe_every"] = args.keyframe_every
     if args.events:

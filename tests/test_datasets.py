@@ -297,3 +297,41 @@ class TestPrefetchingReader:
         # the next forward read resumes the pipeline
         r[1]
         assert r._thread is not None
+
+
+class TestSyntheticSceneReuse:
+    def test_reuse_hits_and_invalidates(self, tmp_path):
+        """reuse_if_current keeps a matching on-disk scene (generation is
+        minutes of host ray tracing at full resolution) but regenerates on
+        any parameter or content change, verified against the artifacts."""
+        import os
+        import time
+
+        from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
+
+        d = str(tmp_path / "scene")
+        kw = dict(n_frames=4, H=36, W=48, fx=60.0, fy=60.0, traj_step=0.02,
+                  furnished=True)
+        make_synthetic_replica(d, **kw)
+        mtime = os.path.getmtime(os.path.join(d, "results", "frame000000.png"))
+
+        time.sleep(0.05)
+        frag = make_synthetic_replica(d, **kw, reuse_if_current=True)
+        assert frag["data"]["input_folder"] == d
+        assert os.path.getmtime(
+            os.path.join(d, "results", "frame000000.png")) == mtime
+
+        # frame-count mismatch regenerates
+        make_synthetic_replica(d, **{**kw, "n_frames": 5},
+                               reuse_if_current=True)
+        n = len([f for f in os.listdir(os.path.join(d, "results"))
+                 if f.startswith("frame")])
+        assert n == 5
+
+        # trajectory change regenerates (fresh traj.txt mtime)
+        t0 = os.path.getmtime(os.path.join(d, "traj.txt"))
+        time.sleep(0.05)
+        make_synthetic_replica(d, **{**kw, "n_frames": 5,
+                                     "traj_step": 0.03},
+                               reuse_if_current=True)
+        assert os.path.getmtime(os.path.join(d, "traj.txt")) > t0

@@ -41,13 +41,17 @@ def test_single_calls_match(tmp_path):
         np.testing.assert_array_equal(np.asarray(s1.grids[k]),
                                       np.asarray(s8.grids[k]))
 
-    # frame 0: first mapping call
+    # frame 0: first mapping call. Tolerance: the only difference is the
+    # psum reduction tree, ~1e-7 per step, but Adam's rsqrt amplifies it
+    # over the 1500 first-map iterations — measured max |Δ| is ~1e-5..1e-4
+    # depending on scene content (2e-4 bound); a structural error (e.g. a
+    # wrong psum scale) would be O(grid values) ~1e-2.
     s1.step(0)
     s8.step(0)
     for k in s1.grids:
         np.testing.assert_allclose(
             np.asarray(s8.grids[k]), np.asarray(s1.grids[k]),
-            atol=5e-5, err_msg=f"grid {k} after first map",
+            atol=2e-4, err_msg=f"grid {k} after first map",
         )
 
     # frame 1: one tracked frame on the (now near-identical) map

@@ -172,6 +172,32 @@ class TestTrackerUnits:
         np.testing.assert_allclose(t[4:], [0.2, 0, 0], atol=1e-6)
 
 
+class TestKeyframeCadence:
+    def test_warns_when_keyframe_every_not_multiple_of_every_frame(
+        self, tmp_path
+    ):
+        """Keyframes are only added at mapped frames, so keyframe_every that
+        is not a multiple of every_frame silently degrades to an lcm cadence
+        (e.g. 16 with every_frame=5 -> one keyframe per 80 frames), starving
+        the mesher's extraction hull and seen-culling. The config loader
+        must warn (measured: completion over observed surface 43 cm vs the
+        few-cm norm on a 300-frame run that tripped this)."""
+        import warnings
+
+        from evennicer_slam_tpu.slam.mapper import MapperConfig
+
+        cfg = tiny_cfg(tmp_path)
+        cfg["mapping"]["every_frame"] = 5
+        cfg["mapping"]["keyframe_every"] = 16
+        with pytest.warns(UserWarning, match="lcm=80"):
+            MapperConfig.from_cfg(cfg)
+
+        cfg["mapping"]["keyframe_every"] = 15
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")
+            MapperConfig.from_cfg(cfg)
+
+
 class TestMapperEventSupervision:
     def test_mapper_event_path(self, tmp_path):
         """The reference implements mapper event supervision but hardwires it
