@@ -113,8 +113,20 @@ def marching_cubes(
         return np.zeros((0, 3), np.float32), np.zeros((0, 3), np.int64)
 
     av = corner_vals[active[:, 0], active[:, 1], active[:, 2]]  # [A, 8]
+    # Reflected Kuhn triangulation: mirror the 6-tet decomposition by the
+    # cell's per-axis coordinate parity (corner id XOR parity mask). A single
+    # translation-invariant decomposition cuts the two sides of a shared
+    # cell face along OPPOSITE diagonals, so the extracted sheets do not
+    # conform across cells — the surface is position-correct but laced with
+    # hairline cracks, and edge-connected component analysis (the mesh
+    # cleaner's small-geometry filter) sees thousands of sub-0.2 m^2
+    # fragments and deletes most of the scene. Mirroring odd cells makes
+    # neighbors' shared-face triangulations mirror images, which coincide,
+    # so iso-vertices land on the SAME diagonal edge and weld by edge key.
+    parity = (active[:, 0] & 1) | ((active[:, 1] & 1) << 1) | ((active[:, 2] & 1) << 2)
+    cell_tets = _TETS[None, :, :] ^ parity[:, None, None]  # [A, 6, 4]
     # per-tet processing: [A, 6, 4] corner values
-    tet_vals = av[:, _TETS]  # [A, 6, 4]
+    tet_vals = av[np.arange(av.shape[0])[:, None, None], cell_tets]  # [A, 6, 4]
     tet_in = tet_vals > level
     cases = (
         tet_in[..., 0].astype(np.int64)
@@ -130,7 +142,7 @@ def marching_cubes(
 
     # interpolate each triangle vertex on its tet edge
     cell = active[a_idx]  # [T, 3]
-    tet_corner = _TETS[t_idx]  # [T, 4] cube-corner ids
+    tet_corner = cell_tets[a_idx, t_idx]  # [T, 4] cube-corner ids (mirrored)
 
     # global unique edge key for dedup: cube-grid node ids of the edge ends
     def node_id(cells, corners):

@@ -143,12 +143,17 @@ class TestRecon:
     def test_2d_metric_unseen_rejection(self, tmp_path):
         # Room-scale BOX: the protocol samples cameras in the OBB scaled by
         # (0.3, 0.7, 0.7) + a 0.4 m z-raise (reference get_cam_position,
-        # eval_recon.py:118-127). A box's scaled OBB is strictly interior, so
-        # every sampled view is inside the room and must see some wall — a
-        # sphere would leak corner views outside (OBB corner norm = 1.04 r).
+        # eval_recon.py:118-127). An ANISOTROPIC box keeps the PCA OBB
+        # well-conditioned so its axes align with the walls and the scaled
+        # OBB is strictly interior — a symmetric cube has a degenerate
+        # vertex covariance, PCA axes can land on the diagonals, and sampled
+        # cameras leak outside the room (seen empirically: extent 9.7 m for
+        # a 5.6 m cube), where views see nothing and are never rejected.
         lin = np.linspace(-1, 1, 24)
         X, Y, Z = np.meshgrid(lin, lin, lin, indexing="ij")
-        vol = 0.7 - np.maximum(np.maximum(abs(X), abs(Y)), abs(Z))
+        vol = 0.1 - np.maximum(
+            np.maximum(abs(X) - 0.6, abs(Y) - 0.45), abs(Z) - 0.25
+        )
         sp = lin[1] - lin[0]
         v, f = marching_cubes(vol, spacing=(sp, sp, sp))
         m = Mesh(v + lin[0], f)
@@ -157,7 +162,10 @@ class TestRecon:
         m.export(p)
         # every surface point marked unseen -> every view rejected -> nan
         rng = np.random.default_rng(0)
-        unseen = m.sample_surface(500, rng)
+        # dense enough that every interior view must contain a sample: at
+        # 500 points (~2.7/m^2 on this box) a wall-hugging view can miss
+        # all of them and the "reject every view" premise silently breaks
+        unseen = m.sample_surface(20000, rng)
         res = calc_2d_metric(p, p, n_imgs=2, align=False, unseen_pc=unseen)
         assert np.isnan(res["depth L1 (cm)"])
 
