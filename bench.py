@@ -35,6 +35,9 @@ def main():
         scene_dir, n_frames=n_frames, H=680, W=1200, fx=600.0, fy=600.0,
         bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
         traj_step=0.01,
+        # skip minutes of host ray tracing on reruns; the reuse check
+        # re-renders frame 0 and invalidates on any scene-content change
+        reuse_if_current=True,
     )
 
     cfg = load_config(default_config_path(nice=True))
