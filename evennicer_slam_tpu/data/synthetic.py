@@ -365,9 +365,10 @@ def make_synthetic_replica(
     ``traj.txt`` (pre-flip poses), ``events/*frame*.png`` ([pos, neg, 0] BGR).
 
     With ``reuse_if_current`` an existing directory is kept when it matches
-    the requested parameters (frame count, trajectory, and a frame-0 render
-    comparison that detects scene-content code changes) — full-resolution
-    generation is minutes of host ray tracing per hundred frames.
+    the requested parameters (frame count, trajectory, and frame-0/1
+    render comparisons incl. the event encoding, detecting scene-content
+    code or ``event_gain`` changes) — full-resolution generation is minutes
+    of host ray tracing per hundred frames.
     """
     if bound is None:
         bound = np.array([[-1.2, 1.2], [-1.0, 1.0], [-0.8, 0.8]], np.float32)
@@ -381,6 +382,7 @@ def make_synthetic_replica(
         frag = _reuse_scene_if_current(
             out_dir, res, ev_dir, n_frames, H, W, fx, fy, cx, cy, bound,
             traj_step, traj_jitter, traj_seed, furnished, traj_kwargs,
+            event_gain,
         )
         if frag is not None:
             return frag
@@ -435,14 +437,15 @@ def make_synthetic_replica(
 
 def _reuse_scene_if_current(
     out_dir, res, ev_dir, n_frames, H, W, fx, fy, cx, cy, bound,
-    traj_step, traj_jitter, traj_seed, furnished, traj_kwargs,
+    traj_step, traj_jitter, traj_seed, furnished, traj_kwargs, event_gain,
 ) -> Optional[Dict]:
     """Return the config fragment for an on-disk scene iff it matches the
     requested parameters; None forces regeneration. Matching is checked
     against the artifacts themselves: frame/depth/event counts, the stored
-    trajectory vs a freshly computed one, and a re-render of frame 0
-    compared pixel-exactly — so any change to the scene-content code
-    (textures, primitives, shading) invalidates the cache."""
+    trajectory vs a freshly computed one, and re-renders of frames 0/1
+    compared pixel-exactly against the stored color/depth/event images — so
+    any change to the scene-content code (textures, primitives, shading) or
+    to ``event_gain`` invalidates the cache."""
     traj_path = os.path.join(out_dir, "traj.txt")
     if not os.path.exists(traj_path):
         return None
@@ -471,17 +474,28 @@ def _reuse_scene_if_current(
     prims = scene_primitives(bound) if furnished else None
     color, depth = render_box_views(poses[0], H, W, fx, fy, cx, cy, bound,
                                     prims=prims)
-    disk_c = cv2.cvtColor(
-        cv2.imread(os.path.join(res, "frame000000.png")), cv2.COLOR_BGR2RGB
-    )
+    disk_c = cv2.imread(os.path.join(res, "frame000000.png"))
     disk_d = cv2.imread(os.path.join(res, "depth000000.png"), cv2.IMREAD_UNCHANGED)
     if disk_c is None or disk_d is None or disk_c.shape[:2] != (H, W):
         return None
+    disk_c = cv2.cvtColor(disk_c, cv2.COLOR_BGR2RGB)
     if not np.array_equal(disk_c, (color * 255).astype(np.uint8)):
         return None
     want_d = np.clip(depth * PNG_DEPTH_SCALE, 0, 65535).astype(np.uint16)
     if not np.array_equal(disk_d, want_d):
         return None
+    if n_frames > 1:
+        # one more render pins the event encoding (incl. event_gain)
+        color1, _ = render_box_views(poses[1], H, W, fx, fy, cx, cy, bound,
+                                     prims=prims)
+        diff = (color1.mean(axis=-1) - color.mean(axis=-1)) * event_gain
+        want_ev = np.stack(
+            [np.clip(diff, 0, 255), np.clip(-diff, 0, 255),
+             np.zeros_like(diff)], axis=-1,
+        ).astype(np.uint8)
+        disk_ev = cv2.imread(os.path.join(ev_dir, "frame000000.png"))
+        if disk_ev is None or not np.array_equal(disk_ev, want_ev):
+            return None
     return _scene_frag(out_dir, ev_dir, H, W, fx, fy, cx, cy, bound)
 
 

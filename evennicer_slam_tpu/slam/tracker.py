@@ -285,7 +285,7 @@ def initial_pose_tensor(
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "cam", "settings", "rgbd", "event", "const_speed",
-                     "calibrate", "apply_bias", "dp"),
+                     "calibrate", "dp"),
 )
 def track_frame_jit(
     pre_c2w: jnp.ndarray,
@@ -309,7 +309,6 @@ def track_frame_jit(
     event: bool,
     const_speed: bool,
     calibrate: bool = False,
-    apply_bias: bool = False,
     dp=None,
 ):
     """Full per-frame tracking: pose init by constant-speed extrapolation
@@ -319,8 +318,10 @@ def track_frame_jit(
 
     ``calibrate`` (RGB-D-anchored frames, event.bias_correction): after the
     anchored pose is selected, an event-only probe optimization measures the
-    event basin's offset from it; ``apply_bias`` (event-only frames) subtracts
-    ``bias_in * bias_scale`` from the winning pose tensor.
+    event basin's offset from it; on event-only frames the caller passes the
+    measured bias (zeros until one exists, so the subtraction is a traced
+    no-op rather than a recompile-forcing static branch) and
+    ``bias_in * bias_scale`` is subtracted from the winning pose tensor.
 
     Returns (best_cam_tensor, best_c2w [4, 4], per-iter loss dict,
     bias_out [7])."""
@@ -421,7 +422,7 @@ def track_frame_jit(
         )
         bias_out = ev_best - best_cam
 
-    if apply_bias and event:
+    if event:
         best_cam = best_cam - bias_in * bias_scale
 
     best_c2w = jnp.concatenate(
@@ -565,7 +566,6 @@ class Tracker:
             event,
             const_speed,
             calibrate,
-            apply_bias,
             self.dp,
         )
         self.last_losses = losses

@@ -106,6 +106,40 @@ VARIANTS = {
 }
 
 
+def summarize(per_seed, seeds, frames):
+    """Per-variant mean/std plus events-vs-dead-reckoning flags. Comparison
+    flags are emitted only when both sides were actually measured (a
+    --variants subset must not claim a comparison that never ran)."""
+    import numpy as np
+
+    summary = {
+        name: {
+            "mean": float(np.mean(v)),
+            "std": float(np.std(v)),
+            "runs": [round(x, 5) for x in v],
+        }
+        for name, v in per_seed.items()
+    }
+    ev_means = {n: s["mean"] for n, s in summary.items()
+                if not n.startswith("A_")}
+    best = min(ev_means, key=ev_means.get) if ev_means else None
+    out = {
+        "summary": summary,
+        "seeds": seeds,
+        "frames": frames,
+        "best_event_mode": best,
+    }
+    if "A_dead_reckoning" in summary:
+        dr = summary["A_dead_reckoning"]["mean"]
+        if "C_events_reference" in summary:
+            out["events_beat_dead_reckoning_reference"] = bool(
+                summary["C_events_reference"]["mean"] < dr)
+        if best is not None:
+            out["events_beat_dead_reckoning_any_mode"] = bool(
+                ev_means[best] < dr)
+    return out
+
+
 def run_variant(cfg, eventnet, n_frames: int, activate, criterion: str,
                 extra_event_cfg=None):
     import numpy as np
@@ -157,6 +191,10 @@ def main():
                              " the validated workload; the per-frame jitter"
                              " (what events correct) is unchanged")
     args = parser.parse_args()
+
+    unknown = [n for n in (args.variants or []) if n not in VARIANTS]
+    if unknown:
+        parser.error(f"unknown --variants {unknown}; choose from {list(VARIANTS)}")
 
     from evennicer_slam_tpu.utils.runtime import setup_jax
 
@@ -240,28 +278,7 @@ def main():
             print(json.dumps({"variant": name, "seed": seed,
                               "ate_rmse_m": round(ate, 5)}), flush=True)
 
-    summary = {
-        name: {
-            "mean": float(np.mean(v)),
-            "std": float(np.std(v)),
-            "runs": [round(x, 5) for x in v],
-        }
-        for name, v in per_seed.items()
-    }
-    dr = summary.get("A_dead_reckoning", {}).get("mean", float("inf"))
-    ev_means = {n: s["mean"] for n, s in summary.items()
-                if not n.startswith("A_")}
-    best = min(ev_means, key=ev_means.get) if ev_means else None
-    print(json.dumps({
-        "summary": summary,
-        "seeds": seeds,
-        "frames": args.frames,
-        "best_event_mode": best,
-        "events_beat_dead_reckoning_reference":
-            bool(summary.get("C_events_reference", {}).get("mean", 1e9) < dr),
-        "events_beat_dead_reckoning_any_mode":
-            bool(best is not None and ev_means[best] < dr),
-    }), flush=True)
+    print(json.dumps(summarize(per_seed, seeds, args.frames)), flush=True)
 
 
 if __name__ == "__main__":

@@ -124,25 +124,35 @@ class RunWatcher:
         if latest is None:
             return
         ckpt, est, gt, mesh_path, idx = latest
-        with self._lock:
-            if ckpt != self._seen_ckpt:
-                self._seen_ckpt = ckpt
-                finite = lambda p: np.isfinite(p).all(axis=(1, 2))  # noqa: E731
-                est = est[finite(est)]
-                gt = gt[finite(gt)]
-                self._state.update(
-                    idx=idx,
-                    est=np.round(est[:, :3, 3], 4).tolist(),
-                    gt=np.round(gt[:, :3, 3], 4).tolist(),
-                    cur_c2w=(est[-1] if len(est) else np.eye(4)).tolist(),
-                )
-            if mesh_path is not None and mesh_path != self._seen_mesh:
-                from evennicer_slam_tpu.mesh.trimesh_lite import Mesh
+        # parse/pack outside the lock (full-res mesh loads take seconds;
+        # /state.json and /mesh.bin must not stall behind them), then swap
+        # the finished buffers in under it. refresh() runs on one thread,
+        # so _seen_* reads without the lock are safe.
+        state_update = None
+        if ckpt != self._seen_ckpt:
+            finite = lambda p: np.isfinite(p).all(axis=(1, 2))  # noqa: E731
+            est = est[finite(est)]
+            gt = gt[finite(gt)]
+            state_update = dict(
+                idx=idx,
+                est=np.round(est[:, :3, 3], 4).tolist(),
+                gt=np.round(gt[:, :3, 3], 4).tolist(),
+                cur_c2w=(est[-1] if len(est) else np.eye(4)).tolist(),
+            )
+        mesh_bytes = None
+        if mesh_path is not None and mesh_path != self._seen_mesh:
+            from evennicer_slam_tpu.mesh.trimesh_lite import Mesh
 
-                mesh = Mesh.load(mesh_path)
+            mesh = Mesh.load(mesh_path)
+            ver = self._state["mesh_version"] + 1  # single-writer read
+            mesh_bytes = pack_mesh(mesh, ver)
+        with self._lock:
+            if state_update is not None:
+                self._seen_ckpt = ckpt
+                self._state.update(state_update)
+            if mesh_bytes is not None:
                 self._seen_mesh = mesh_path
-                ver = self._state["mesh_version"] + 1
-                self._mesh_bytes = pack_mesh(mesh, ver)
+                self._mesh_bytes = mesh_bytes
                 self._state.update(
                     mesh_version=ver, n_verts=len(mesh.vertices),
                     n_faces=len(mesh.faces),

@@ -335,3 +335,24 @@ class TestSyntheticSceneReuse:
                                      "traj_step": 0.03},
                                reuse_if_current=True)
         assert os.path.getmtime(os.path.join(d, "traj.txt")) > t0
+
+        # event_gain change regenerates (event PNGs carry the gain)
+        e0 = os.path.getmtime(os.path.join(d, "events", "frame000000.png"))
+        time.sleep(0.05)
+        make_synthetic_replica(d, **{**kw, "n_frames": 5,
+                                     "traj_step": 0.03, "event_gain": 40.0},
+                               reuse_if_current=True)
+        assert os.path.getmtime(
+            os.path.join(d, "events", "frame000000.png")) > e0
+
+        # an unreadable frame 0 falls back to regeneration, not a crash
+        time.sleep(0.05)
+        with open(os.path.join(d, "results", "frame000000.png"), "wb") as f:
+            f.write(b"not a png")
+        make_synthetic_replica(d, **{**kw, "n_frames": 5,
+                                     "traj_step": 0.03, "event_gain": 40.0},
+                               reuse_if_current=True)
+        import cv2
+
+        assert cv2.imread(
+            os.path.join(d, "results", "frame000000.png")) is not None

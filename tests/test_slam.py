@@ -264,7 +264,14 @@ class TestEventBiasCorrection:
         slam.step(2)  # RGB-D frame: calibration probe runs
         bias = np.asarray(slam.tracker.event_bias)
         assert bias.shape == (7,) and np.isfinite(bias).all()
+        from evennicer_slam_tpu.slam.tracker import track_frame_jit
+
+        n_before = track_frame_jit._cache_size()
         slam.step(3)  # event-only frame: bias applied to the output pose
+        # the bias is a traced operand, not a static flag: applying a
+        # freshly measured bias must NOT compile a new tracker variant
+        # (a mid-sequence recompile stalls every bias_correction run)
+        assert track_frame_jit._cache_size() == n_before
         est = slam.estimate_c2w_list
         assert np.isfinite(est[:4]).all()
 

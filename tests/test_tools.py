@@ -318,3 +318,34 @@ class TestVizServer:
         assert np.isfinite(n).all()
         np.testing.assert_allclose(np.linalg.norm(n, axis=1), 1, atol=1e-5)
         np.testing.assert_allclose(n[3], [0, 0, 1])
+
+
+class TestEventAblationSummary:
+    def test_flags_only_when_measured(self):
+        """--variants subsets must not claim events-vs-dead-reckoning
+        comparisons that never ran (flags derive from measured runs only)."""
+        from evennicer_slam_tpu.tools.event_ablation import summarize
+
+        # full grid: both flags present and correct
+        full = summarize(
+            {"A_dead_reckoning": [0.3, 0.2],
+             "C_events_reference": [0.1, 0.12],
+             "D_non_rgbd_only": [0.08, 0.09]},
+            seeds=[7, 1007], frames=100,
+        )
+        assert full["events_beat_dead_reckoning_reference"] is True
+        assert full["events_beat_dead_reckoning_any_mode"] is True
+        assert full["best_event_mode"] == "D_non_rgbd_only"
+
+        # no dead-reckoning run -> no comparison flags at all
+        sub = summarize({"D_non_rgbd_only": [0.08]}, seeds=[7], frames=100)
+        assert "events_beat_dead_reckoning_reference" not in sub
+        assert "events_beat_dead_reckoning_any_mode" not in sub
+
+        # dead reckoning but no reference-mode run -> only the any-mode flag
+        sub2 = summarize(
+            {"A_dead_reckoning": [0.3], "D_non_rgbd_only": [0.08]},
+            seeds=[7], frames=100,
+        )
+        assert "events_beat_dead_reckoning_reference" not in sub2
+        assert sub2["events_beat_dead_reckoning_any_mode"] is True

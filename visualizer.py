@@ -40,9 +40,9 @@ def main():
     parser.add_argument("--host", type=str, default="127.0.0.1")
     parser.add_argument("--port", type=int, default=8765)
     parser.add_argument("--save_rendering", action="store_true",
-                        help="render replay frames to $OUTPUT/rendering")
+                        help="render replay frames to $OUTPUT/vis/replay")
     parser.add_argument("--gif", action="store_true",
-                        help="assemble replay frames into vis.gif")
+                        help="assemble replay frames into $OUTPUT/replay.gif")
     parser.add_argument("--follow", action="store_true",
                         help="keep polling a live run")
     parser.add_argument("--poll_s", type=float, default=2.0)
