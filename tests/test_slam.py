@@ -256,6 +256,9 @@ class TestEventBiasCorrection:
         cfg["event"]["bias_correction"] = True
         cfg["event"]["best_pose_criterion"] = "rgbd"
         cfg["event"]["activate_events"] = "non_rgbd"
+        # pin const_speed off so frames 1 and 3 share every static arg:
+        # the no-recompile assertion below must isolate the bias operand
+        cfg["tracking"]["const_speed_assumption"] = False
         slam = EvenNICERSLAM(cfg, nice=True)
         assert slam.tracker.cfg.bias_correction
         slam.step(0)
