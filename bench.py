@@ -28,8 +28,9 @@ def main():
     from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
     from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
 
-    n_frames = 31
+    n_frames = 47
     warm_frames = 6  # frames 0..5 include first-map + all compiles
+    n_blocks = 8  # median over 8 per-5-frame blocks (weather robustness)
     scene_dir = os.environ.get("ENSLAM_BENCH_SCENE", "/tmp/enslam_bench_scene")
     frag = make_synthetic_replica(
         scene_dir, n_frames=n_frames, H=680, W=1200, fx=600.0, fy=600.0,
@@ -73,8 +74,10 @@ def main():
     for idx in range(warm_frames):
         slam.step(idx)
 
-    # measured window: steady-state frames only (the last two frames trigger
-    # keyframe-growth recompiles + final color refinement and are excluded).
+    # measured window: steady-state frames only. It must end before frame
+    # keyframe_every=50: a registry-growth there changes the mapping window
+    # length K (a traced shape) and would put a recompile inside a measured
+    # block. The final-frame color-refine frames are likewise excluded.
     #
     # Weather-proofing: the host<->device link has minute-scale throughput
     # weather (same commit benched 1.9 and 0.86 fps hours apart when per-frame
@@ -84,8 +87,9 @@ def main():
     # the one ~30 ms pose fetch that paces each mapping call. The median of
     # per-5-frame-block rates plus the reported spread make any residual
     # transient visible instead of silently flipping the headline.
-    end = n_frames - 2
     every = slam.m_cfg.every_frame
+    end = warm_frames + n_blocks * every  # = 46 < keyframe_every
+    assert end <= n_frames - 1
     slam.frame_reader.preload_device(range(warm_frames, end))
     slam._flush_metrics(force=True)
     # preload took long enough that ALL warmup work (including the last
@@ -119,6 +123,11 @@ def main():
         "block_rates": [round(r, 3) for r in block_rates],
         "block_spread_frac": round(spread, 3),
     }))
+    sys.stdout.flush()
+    # the remote-platform client can abort() in C++ teardown after a long
+    # run ("terminate called without an active exception"), which would turn
+    # a successful bench into a nonzero exit; the JSON line is out, stop here
+    os._exit(0)
 
 
 if __name__ == "__main__":
