@@ -39,6 +39,7 @@ from evennicer_slam_tpu.core.bounds import inside_bound_mask
 from evennicer_slam_tpu.core.quaternion import (
     pose_matrix_from_tensor,
     pose_matrix_from_tensor_np,
+    tensor_from_pose_matrix,
     tensor_from_pose_matrix_np,
 )
 from evennicer_slam_tpu.core.rays import get_rays_rescale, rays_from_uv
@@ -55,6 +56,7 @@ from evennicer_slam_tpu.slam.camera import Camera
 from evennicer_slam_tpu.slam.keyframes import (
     KeyframeStore,
     frustum_feature_mask,
+    frustum_feature_mask_dev,
     keyframe_selection_overlap,
     random_select,
 )
@@ -533,7 +535,11 @@ class Mapper:
         kf = self.keyframes
         selection = self.selection if selection is None else selection
         rng = self.rng if rng is None else rng
-        if len(kf) == 0:
+        if len(kf) <= 1:
+            # no candidates besides the always-included last keyframe: both
+            # policies select nothing, and skipping the overlap scorer keeps
+            # this pose-free (the async path passes cur_c2w as a device
+            # array; the scorer's ray math would force a fetch)
             frames: List[int] = []
         else:
             num = self.cfg.window_size - 2
@@ -541,8 +547,9 @@ class Mapper:
                 frames = random_select(len(kf) - 1, num, rng)
             else:
                 frames = keyframe_selection_overlap(
-                    np.asarray(gt_color), np.asarray(gt_depth), cur_c2w,
-                    kf.frames[:-1], num, self.cam, rng=rng,
+                    np.asarray(gt_color), np.asarray(gt_depth),
+                    np.asarray(cur_c2w), kf.frames[:-1], num, self.cam,
+                    rng=rng,
                 )
         if len(kf) > 0:
             frames = frames + [len(kf) - 1]
@@ -552,7 +559,12 @@ class Mapper:
     def _assemble_window(self, frames: List[int], cur_color_dev,
                          cur_depth_dev, cur_c2w):
         """Stack window images from the keyframe device cache (current frame
-        from the pipeline's upload) + estimated c2w matrices on host."""
+        from the pipeline's upload) + estimated c2w matrices and their
+        quat+trans tensors.
+
+        ``cur_c2w`` may be a DEVICE array (steady-state async path): the
+        keyframe rows are still host numpy, but the current-frame rows are
+        spliced in on device so no pose fetch (queue drain) is needed."""
         col_list, dep_list = [], []
         for f in frames:
             if f == -1:
@@ -562,13 +574,29 @@ class Mapper:
                 c, d = self.keyframes.device_images(f)
                 col_list.append(c)
                 dep_list.append(d)
-        fixed_c2w = np.stack(
+        cur_is_dev = not isinstance(cur_c2w, np.ndarray)
+        kf_rows = np.stack(
             [
-                cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"]
+                np.eye(4, dtype=np.float32) if (f == -1 and cur_is_dev)
+                else (cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"])
                 for f in frames
             ]
         ).astype(np.float32)
-        return jnp.stack(col_list), jnp.stack(dep_list), fixed_c2w
+        cams = np.stack(
+            [tensor_from_pose_matrix_np(m[:3]) for m in kf_rows]
+        ).astype(np.float32)
+        if cur_is_dev:
+            fixed_c2w = jnp.asarray(kf_rows)
+            cams = jnp.asarray(cams)
+            cur4 = jnp.asarray(cur_c2w, jnp.float32)
+            cur_cam = tensor_from_pose_matrix(cur4[:3])
+            for slot, f in enumerate(frames):
+                if f == -1:
+                    fixed_c2w = fixed_c2w.at[slot].set(cur4)
+                    cams = cams.at[slot].set(cur_cam)
+        else:
+            fixed_c2w = kf_rows
+        return jnp.stack(col_list), jnp.stack(dep_list), fixed_c2w, cams
 
     # -- main entry ---------------------------------------------------------
 
@@ -602,6 +630,10 @@ class Mapper:
         functions of the global iteration."""
         cfg = self.cfg
         cam = self.cam
+        # cur_c2w may be a DEVICE array (pipeline steady-state async path:
+        # no BA, pose-free window selection). Everything below then splices
+        # the device pose in on device — zero host round trips.
+        pose_is_dev = not isinstance(cur_c2w, np.ndarray)
         window = self.select_window(cur_gt_color, cur_gt_depth, cur_c2w)
         K = len(window)
         pix_per_img = cfg.pixels // K
@@ -627,7 +659,7 @@ class Mapper:
         else:
             cur_color_dev = jnp.asarray(np.asarray(cur_gt_color))
             cur_depth_dev = jnp.asarray(np.asarray(cur_gt_depth))
-        colors, depths, fixed_c2w = self._assemble_window(
+        colors, depths, fixed_c2w, cam_tensors = self._assemble_window(
             window, cur_color_dev, cur_depth_dev, cur_c2w)
 
         # fused coarse-mapper term: its own globally-random window, assembled
@@ -639,7 +671,7 @@ class Mapper:
         if fuse_coarse:
             c_frames = self.select_window(
                 None, None, None, selection="global", rng=self.rng_coarse)
-            colors_c, depths_c, fc2w_c = self._assemble_window(
+            colors_c, depths_c, fc2w_c, _ = self._assemble_window(
                 c_frames, cur_color_dev, cur_depth_dev, cur_c2w)
             fixed_c2w_c = jnp.asarray(fc2w_c)
             pix_per_img_c = cfg.pixels // len(c_frames)
@@ -649,13 +681,14 @@ class Mapper:
             pix_per_img_c = 0
 
         ba = self.BA_active and not self.coarse_mapper
+        assert not (ba and pose_is_dev), (
+            "BA needs the current pose and the optimized window poses on "
+            "host; the async device-pose path must not be used with BA"
+        )
         oldest = min(window)
         opt_mask = np.array(
             [0.0 if f == oldest else 1.0 for f in window], np.float32
         )
-        cam_tensors = np.stack(
-            [tensor_from_pose_matrix_np(m[:3]) for m in fixed_c2w]
-        ).astype(np.float32)
 
         # stage schedule
         if self.coarse_mapper:
@@ -690,13 +723,20 @@ class Mapper:
         if grids is not None:
             for lvl, g in grids.items():
                 if use_frustum and lvl != "coarse":
-                    m = frustum_feature_mask(
-                        cur_c2w, g.shape[:3], np.asarray(cur_gt_depth),
-                        self.bound_np, cam,
-                    )
-                    grid_masks[lvl] = jnp.asarray(
-                        m[..., None].astype(np.float32)
-                    )
+                    if pose_is_dev:
+                        m = frustum_feature_mask_dev(
+                            cur_c2w, g.shape[:3], cur_depth_dev,
+                            self.bound_np, cam,
+                        )
+                        grid_masks[lvl] = m[..., None].astype(jnp.float32)
+                    else:
+                        m = frustum_feature_mask(
+                            cur_c2w, g.shape[:3], np.asarray(cur_gt_depth),
+                            self.bound_np, cam,
+                        )
+                        grid_masks[lvl] = jnp.asarray(
+                            m[..., None].astype(np.float32)
+                        )
                 else:
                     grid_masks[lvl] = jnp.ones(g.shape[:3] + (1,), jnp.float32)
 

@@ -346,9 +346,29 @@ class EvenNICERSLAM:
         cfg = self.cfg
         m = self.m_cfg
         gt_event_int = self._integrated_event(idx) if self.use_events else frame.event
-        # ONE pose fetch per mapping call (window selection + frustum masks
-        # are host-side); this also naturally paces the host to the device.
-        cur_c2w = self._pose_np(idx).copy()
+        # Steady-state async path: when nothing host-side needs the pose
+        # VALUE — window selection is pose-free (≤1 keyframe, or 'global'),
+        # BA is inactive, and per-window keyframe info logging is off — the
+        # mapping call takes the tracker's DEVICE pose directly (window pose
+        # rows spliced on device, frustum masks computed on device). Zero
+        # host round trips per mapped window: the host never drains the
+        # dispatch queue, so link-latency weather cannot idle the chip.
+        # Otherwise: ONE pose fetch per mapping call (which also naturally
+        # paces the host to the device).
+        kf_count = len(self.mapper.keyframes)
+        pose_free_selection = kf_count <= 1 or self.mapper.selection == "global"
+        ba_possible = self.mapper.cfg.BA and kf_count > 4
+        fast = (
+            not init and not color_refine
+            and pose_free_selection and not ba_possible
+            and not self.mapper.cfg.save_selected_keyframes_info
+        )
+        if fast:
+            cur_c2w = self._pose(idx)
+            if isinstance(cur_c2w, np.ndarray):
+                cur_c2w = cur_c2w.copy()
+        else:
+            cur_c2w = self._pose_np(idx).copy()
 
         if init:
             outer, num_iters, lr_factor = 1, m.iters_first, m.lr_first_factor

@@ -371,3 +371,78 @@ class TestEventVisualization:
         vis_dir = os.path.join(slam.output, "tracking_vis")
         files = os.listdir(vis_dir) if os.path.isdir(vis_dir) else []
         assert any(f.endswith(".jpg") for f in files)
+
+
+class TestAsyncMappingPath:
+    """The steady-state mapping fast path takes the tracker's DEVICE pose
+    (no host fetch): window pose rows spliced on device, frustum masks
+    computed on device (slam/pipeline.py _map_frame, slam/mapper.py)."""
+
+    def test_frustum_mask_dev_matches_numpy(self):
+        from evennicer_slam_tpu.slam.camera import Camera
+        from evennicer_slam_tpu.slam.keyframes import (
+            frustum_feature_mask,
+            frustum_feature_mask_dev,
+        )
+
+        cam = Camera(H=36, W=48, fx=60.0, fy=60.0, cx=23.5, cy=17.5)
+        bound = np.array([[-1.2, 1.2], [-1.0, 1.0], [-0.8, 0.8]], np.float32)
+        # camera near +x wall looking toward -x (the repo's -z convention
+        # with a y-flip, as produced by the synthetic trajectories)
+        c2w = np.array(
+            [
+                [0.0, 0.0, 1.0, 0.9],
+                [0.0, 1.0, 0.0, 0.1],
+                [-1.0, 0.0, 0.0, 0.05],
+                [0.0, 0.0, 0.0, 1.0],
+            ],
+            np.float32,
+        )
+        rng = np.random.default_rng(3)
+        depth = (1.0 + 0.6 * rng.random((36, 48))).astype(np.float32)
+        depth[:, :6] = 0.0  # a zero-depth stripe exercises the max-fill rule
+        shape = (12, 14, 16)
+        m_np = frustum_feature_mask(c2w, shape, depth, bound, cam)
+        m_dev = np.asarray(
+            frustum_feature_mask_dev(
+                jnp.asarray(c2w), shape, jnp.asarray(depth), bound, cam
+            )
+        )
+        assert m_dev.shape == m_np.shape
+        # f32 device vs f64 host + cv2's fixed-point bilinear: only
+        # frustum-boundary voxels may flip
+        mismatch = np.mean(m_dev != m_np)
+        assert mismatch < 0.02, f"mask mismatch fraction {mismatch:.4f}"
+        assert m_np.any() and not m_np.all()
+
+    def test_fast_path_bitwise_equals_synced(self, tmp_path):
+        # save_selected_keyframes_info=True forces the synced (host-pose)
+        # path; the flag itself only records window metadata. With BA and
+        # frustum selection off, the two paths must produce bitwise
+        # identical grids and poses.
+        base = {
+            "mapping": {"BA": False, "frustum_feature_selection": False},
+        }
+        est = {}
+        grid_leaf = {}
+        for name, forced in (("fast", False), ("synced", True)):
+            cfg = tiny_cfg(tmp_path / name, **base)
+            cfg["mapping"]["save_selected_keyframes_info"] = forced
+            slam = EvenNICERSLAM(cfg, nice=True)
+            est[name] = slam.run(mesh=False, checkpoint=False).copy()
+            grid_leaf[name] = np.asarray(
+                jax.tree.leaves(slam.grids)[0]
+            ).copy()
+        np.testing.assert_array_equal(est["fast"], est["synced"])
+        np.testing.assert_array_equal(grid_leaf["fast"], grid_leaf["synced"])
+
+    def test_fast_path_with_frustum_runs(self, tmp_path):
+        # frustum selection ON exercises frustum_feature_mask_dev inside the
+        # pipeline (device pose) end to end
+        cfg = tiny_cfg(
+            tmp_path,
+            mapping={"BA": False, "frustum_feature_selection": True},
+        )
+        slam = EvenNICERSLAM(cfg, nice=True)
+        est = slam.run(mesh=False, checkpoint=False)
+        assert np.isfinite(est[: slam.n_img]).all()
