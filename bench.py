@@ -29,9 +29,11 @@ def main():
     from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
 
     # 90 measured frames = 3 super-blocks of 30 (see below). n_frames stays
-    # 2+ past the window end: maybe_add_keyframe fires at n_img-2 (a ~10 MB
-    # keyframe fetch) and the final-frame color refine at n_img-1 — neither
-    # may land inside the measured window.
+    # 2 past the window end so frame end (= 96) exists and can be preloaded:
+    # the reader's decode-ahead otherwise fires for it from inside the last
+    # measured block. (The n_img-2 keyframe add and the n_img-1 color refine
+    # never run here — the loop stops at idx 95 — but a margin below 2 also
+    # trips the preload/assert below.)
     n_frames = 98
     warm_frames = 6  # frames 0..5 include first-map + all compiles
     scene_dir = os.environ.get("ENSLAM_BENCH_SCENE", "/tmp/enslam_bench_scene")
@@ -97,9 +99,12 @@ def main():
     # are deferred past the window, and (3) the steady-state pipeline is
     # fully asynchronous — mapping takes the tracker's device pose directly
     # (pipeline._map_frame fast path), so the whole super-block enqueues
-    # with ZERO host round trips and link stalls cannot idle the chip. The
-    # only syncs are the 3 super-block boundaries: a 1-element fetch from
-    # the freshly-mapped grids drains every enqueued program, so each
+    # without the host ever draining the queue and link stalls cannot idle
+    # the chip. (The pipeline's in-flight pacing fetches the output of the
+    # mapping call max_inflight_maps=4 calls back — it holds the HOST to a
+    # bounded run-ahead but never empties the device queue.) The only full
+    # syncs are the 3 super-block boundaries: a 1-element fetch from the
+    # freshly-mapped grids drains every enqueued program, so each
     # super-block is exactly 30 tracked frames + 6 mapping calls of device
     # work. Median of the 3 rates + spread make any residual transient
     # visible instead of silently flipping the headline.
@@ -108,7 +113,10 @@ def main():
     sync_every = 6 * every  # 30 frames per super-block
     end = warm_frames + n_super * sync_every
     assert end <= n_frames - 2
-    slam.frame_reader.preload_device(range(warm_frames, end))
+    # preload THROUGH frame `end`: the reader decode-aheads idx+1 on every
+    # read, so frame `end` must already be cached or its decode+upload lands
+    # inside the last measured block
+    slam.frame_reader.preload_device(range(warm_frames, end + 1))
     slam._flush_metrics(force=True)
 
     def drain():

@@ -557,10 +557,13 @@ class Mapper:
         return frames
 
     def _assemble_window(self, frames: List[int], cur_color_dev,
-                         cur_depth_dev, cur_c2w):
+                         cur_depth_dev, cur_c2w, need_cams: bool = True):
         """Stack window images from the keyframe device cache (current frame
-        from the pipeline's upload) + estimated c2w matrices and their
-        quat+trans tensors.
+        from the pipeline's upload) + estimated c2w matrices and (when
+        ``need_cams``) their quat+trans tensors. The fused-coarse window
+        passes need_cams=False: its cam tensors are never read (cam tensors
+        only matter under BA, which excludes the coarse term), so the host
+        quaternion conversions and device splices are skipped.
 
         ``cur_c2w`` may be a DEVICE array (steady-state async path): the
         keyframe rows are still host numpy, but the current-frame rows are
@@ -582,20 +585,26 @@ class Mapper:
                 for f in frames
             ]
         ).astype(np.float32)
-        cams = np.stack(
-            [tensor_from_pose_matrix_np(m[:3]) for m in kf_rows]
-        ).astype(np.float32)
+        cams = None
+        if need_cams:
+            cams = np.stack(
+                [tensor_from_pose_matrix_np(m[:3]) for m in kf_rows]
+            ).astype(np.float32)
         if cur_is_dev:
             fixed_c2w = jnp.asarray(kf_rows)
-            cams = jnp.asarray(cams)
             cur4 = jnp.asarray(cur_c2w, jnp.float32)
-            cur_cam = tensor_from_pose_matrix(cur4[:3])
+            if need_cams:
+                cams = jnp.asarray(cams)
+                cur_cam = tensor_from_pose_matrix(cur4[:3])
             for slot, f in enumerate(frames):
                 if f == -1:
                     fixed_c2w = fixed_c2w.at[slot].set(cur4)
-                    cams = cams.at[slot].set(cur_cam)
+                    if need_cams:
+                        cams = cams.at[slot].set(cur_cam)
         else:
             fixed_c2w = kf_rows
+        if cams is None:
+            cams = np.zeros((len(frames), 7), np.float32)
         return jnp.stack(col_list), jnp.stack(dep_list), fixed_c2w, cams
 
     # -- main entry ---------------------------------------------------------
@@ -672,7 +681,8 @@ class Mapper:
             c_frames = self.select_window(
                 None, None, None, selection="global", rng=self.rng_coarse)
             colors_c, depths_c, fc2w_c, _ = self._assemble_window(
-                c_frames, cur_color_dev, cur_depth_dev, cur_c2w)
+                c_frames, cur_color_dev, cur_depth_dev, cur_c2w,
+                need_cams=False)
             fixed_c2w_c = jnp.asarray(fc2w_c)
             pix_per_img_c = cfg.pixels // len(c_frames)
         else:
@@ -685,7 +695,12 @@ class Mapper:
             "BA needs the current pose and the optimized window poses on "
             "host; the async device-pose path must not be used with BA"
         )
-        oldest = min(window)
+        # the reference anchors the oldest KEYFRAME and optimizes the current
+        # frame's pose (oldest computed BEFORE appending -1,
+        # src/Mapper.py:296-300); min over the full window would instead
+        # freeze the current frame (-1) and leave the gauge unanchored
+        kf_only = [f for f in window if f != -1]
+        oldest = min(kf_only) if kf_only else -1
         opt_mask = np.array(
             [0.0 if f == oldest else 1.0 for f in window], np.float32
         )

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import time
+from collections import deque
 from typing import Any, Dict, Optional
 
 import jax
@@ -190,6 +191,13 @@ class EvenNICERSLAM:
         self.mapping_idx = -1
         self.mapping_cnt = 0
         self.pre_gt_color_mapper = None
+        # async mapping fast path: taken-count (observability + tests) and
+        # the sliding window of in-flight mapping outputs that paces the host
+        self.n_fast_maps = 0
+        self._inflight_maps: deque = deque()
+        self._max_inflight_maps = int(
+            cfg["mapping"].get("max_inflight_maps", 4)
+        )
         self.timings: Dict[str, float] = {"track": 0.0, "map": 0.0, "frames": 0}
         # deferred per-frame metrics: (host part, device part) tuples flushed
         # in batches so the slow host link is hit once, not per record.
@@ -341,29 +349,33 @@ class EvenNICERSLAM:
             total = ev if total is None else total + ev
         return total
 
+    def _async_map_ok(self) -> bool:
+        """True when a steady-state mapping call can run from the tracker's
+        DEVICE pose without the host ever needing the pose value: window
+        selection is pose-free (≤1 keyframe, or 'global' policy), BA cannot
+        activate, and per-window keyframe info logging is off."""
+        kf_count = len(self.mapper.keyframes)
+        pose_free_selection = kf_count <= 1 or self.mapper.selection == "global"
+        ba_possible = self.mapper.cfg.BA and kf_count > 4
+        return (
+            pose_free_selection and not ba_possible
+            and not self.mapper.cfg.save_selected_keyframes_info
+        )
+
     def _map_frame(self, idx: int, frame, init: bool, color_refine: bool = False,
                    images_dev=None):
         cfg = self.cfg
         m = self.m_cfg
         gt_event_int = self._integrated_event(idx) if self.use_events else frame.event
-        # Steady-state async path: when nothing host-side needs the pose
-        # VALUE — window selection is pose-free (≤1 keyframe, or 'global'),
-        # BA is inactive, and per-window keyframe info logging is off — the
-        # mapping call takes the tracker's DEVICE pose directly (window pose
-        # rows spliced on device, frustum masks computed on device). Zero
-        # host round trips per mapped window: the host never drains the
-        # dispatch queue, so link-latency weather cannot idle the chip.
-        # Otherwise: ONE pose fetch per mapping call (which also naturally
-        # paces the host to the device).
-        kf_count = len(self.mapper.keyframes)
-        pose_free_selection = kf_count <= 1 or self.mapper.selection == "global"
-        ba_possible = self.mapper.cfg.BA and kf_count > 4
-        fast = (
-            not init and not color_refine
-            and pose_free_selection and not ba_possible
-            and not self.mapper.cfg.save_selected_keyframes_info
-        )
+        # Steady-state async path: the mapping call takes the tracker's
+        # DEVICE pose directly (window pose rows spliced on device, frustum
+        # masks computed on device). No blocking host round trip per mapped
+        # window: the host never drains the dispatch queue, so link-latency
+        # weather cannot idle the chip. Otherwise: ONE pose fetch per mapping
+        # call (which also naturally paces the host to the device).
+        fast = not init and not color_refine and self._async_map_ok()
         if fast:
+            self.n_fast_maps += 1
             cur_c2w = self._pose(idx)
             if isinstance(cur_c2w, np.ndarray):
                 cur_c2w = cur_c2w.copy()
@@ -445,6 +457,21 @@ class EvenNICERSLAM:
             images_dev[0] if images_dev is not None else frame.color
         )
 
+        if fast:
+            # Bound host run-ahead: with the synced pose fetch gone, nothing
+            # paces the host, and every in-flight mapping program pins its
+            # own grids pytree + window buffers in HBM — a long run would
+            # OOM the device. Waiting on the output of the mapping call
+            # max_inflight_maps calls back costs one link round trip on an
+            # (in steady state) already-finished result, so the device queue
+            # never empties while the host is held back.
+            # grids in nice mode; imap has no grids, so fall back to the
+            # decoder params (also produced by every mapping call)
+            leaves = jax.tree.leaves(self.grids) or jax.tree.leaves(self.decoders)
+            self._inflight_maps.append(leaves[0].reshape(-1)[:1])
+            while len(self._inflight_maps) > self._max_inflight_maps:
+                np.asarray(jax.device_get(self._inflight_maps.popleft()))
+
     def _predict_event_for_vis(self, idx: int, gt_depth):
         """Low-res GT event integral + EventNet prediction for the visual
         panels (reference Visualizer.vis_event, src/utils/Visualizer.py)."""
@@ -490,10 +517,13 @@ class EvenNICERSLAM:
                 self.decoders, self.grids, seed=idx,
             )
             self._set_pose(idx, c2w)
-            if idx % self.m_cfg.every_frame == 0 or idx == self.n_img - 1:
-                # a mapping call will fetch this pose: start the D2H copy as
-                # soon as the device produces it, overlapping the link's
-                # ~30 ms round trip with the remaining queued device work
+            boundary = idx % self.m_cfg.every_frame == 0 or idx == self.n_img - 1
+            if boundary and (idx == self.n_img - 1 or not self._async_map_ok()):
+                # a SYNCED mapping call (or the final color refine) will
+                # fetch this pose: start the D2H copy as soon as the device
+                # produces it, overlapping the link's ~30 ms round trip with
+                # the remaining queued device work. On the async fast path
+                # nothing ever fetches the pose, so no copy is started.
                 try:
                     c2w.copy_to_host_async()
                 except (AttributeError, NotImplementedError):

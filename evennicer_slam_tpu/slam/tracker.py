@@ -183,6 +183,7 @@ def _tracking_loss(
     gt_event_lo: jnp.ndarray,
     prev_color_lo: jnp.ndarray,
     gt_depth_lo_flat: jnp.ndarray,
+    gt_mask_lo: jnp.ndarray,
     cfg: TrackerConfig,
     cam: Camera,
     settings: RenderSettings,
@@ -249,7 +250,17 @@ def _tracking_loss(
             gt_depth=constrain_dp(gt_depth_lo_flat, dp),
         )
         cur_color_lo = cur_color_lo.reshape(lo_h, lo_w, 3)
-        pred_event, _ = inference_event(eventnet, prev_color_lo, cur_color_lo)
+        pred_event, mask_pred = inference_event(
+            eventnet, prev_color_lo, cur_color_lo
+        )
+        # event-existence mask cross-entropy — computed and LOGGED but never
+        # backpropagated, exactly like the reference ("not used, just for
+        # reference", src/Tracker.py:222-224; its CE runs on the already-
+        # sigmoided mask head, reproduced verbatim)
+        logsm = jax.nn.log_softmax(jax.lax.stop_gradient(mask_pred[0]), axis=-1)
+        aux["mask"] = -jnp.mean(
+            gt_mask_lo * logsm[..., 1] + (1.0 - gt_mask_lo) * logsm[..., 0]
+        )
         if cfg.blur:
             loss_event = event_pyramid_loss(
                 gt_event_lo, pred_event, cfg.kernel_sizes, cfg.kernel_weights
@@ -300,6 +311,7 @@ def track_frame_jit(
     gt_event_lo: jnp.ndarray,
     prev_color_lo: jnp.ndarray,
     gt_depth_lo_flat: jnp.ndarray,
+    gt_mask_lo: jnp.ndarray,
     bias_in: jnp.ndarray,
     bias_scale: jnp.ndarray,
     cfg: TrackerConfig,
@@ -351,6 +363,7 @@ def track_frame_jit(
         gt_event_lo=gt_event_lo,
         prev_color_lo=prev_color_lo,
         gt_depth_lo_flat=gt_depth_lo_flat,
+        gt_mask_lo=gt_mask_lo,
         cfg=cfg,
         cam=cam,
         settings=settings,
@@ -398,6 +411,7 @@ def track_frame_jit(
             decoders=decoders, grids=grids, eventnet=eventnet, bound=bound,
             gt_color=gt_color, gt_depth=gt_depth, gt_event_lo=gt_event_lo,
             prev_color_lo=prev_color_lo, gt_depth_lo_flat=gt_depth_lo_flat,
+            gt_mask_lo=gt_mask_lo,
             cfg=cfg._replace(activate_events=True), cam=cam,
             settings=settings, rgbd=False, event=True, dp=dp,
         )
@@ -437,12 +451,17 @@ def track_frame_jit(
 
 @functools.partial(jax.jit, static_argnames=("lo_hw",))
 def _prep_event_inputs(gt_event_integrate, gt_event, pre_gt_color, gt_depth, lo_hw):
-    """Fused per-frame event preprocessing (integration + resizes)."""
+    """Fused per-frame event preprocessing (integration + resizes). The
+    existence mask is the CURRENT frame's (any polarity nonzero — the
+    dataset-level mask of src/utils/datasets.py:189-191), nearest-resized
+    like the reference's gt_mask (src/Tracker.py:139-140)."""
     acc = gt_event_integrate + gt_event
     gt_event_lo = resize_nearest(acc, lo_hw)
     prev_color_lo = resize_bilinear(pre_gt_color, lo_hw)
     gt_depth_lo_flat = resize_bilinear(gt_depth, lo_hw).reshape(-1)
-    return acc, gt_event_lo, prev_color_lo, gt_depth_lo_flat
+    mask = jnp.any(gt_event != 0, axis=-1).astype(jnp.float32)
+    gt_mask_lo = resize_nearest(mask, lo_hw)
+    return acc, gt_event_lo, prev_color_lo, gt_depth_lo_flat, gt_mask_lo
 
 
 class Tracker:
@@ -515,7 +534,7 @@ class Tracker:
             if self.gt_event_integrate is None:
                 self.gt_event_integrate = jnp.zeros_like(gt_event)
             (self.gt_event_integrate, gt_event_lo, prev_color_lo,
-             gt_depth_lo_flat) = _prep_event_inputs(
+             gt_depth_lo_flat, gt_mask_lo) = _prep_event_inputs(
                 self.gt_event_integrate, gt_event, self.pre_gt_color, gt_depth,
                 self.lo_hw,
             )
@@ -524,6 +543,7 @@ class Tracker:
             gt_event_lo = jnp.zeros((lo_h, lo_w, 2))
             prev_color_lo = jnp.zeros((lo_h, lo_w, 3))
             gt_depth_lo_flat = jnp.zeros((lo_h * lo_w,))
+            gt_mask_lo = jnp.zeros((lo_h, lo_w))
 
         const_speed = bool(self.cfg.const_speed and pre_pre_c2w is not None)
         pre_c2w = jnp.asarray(pre_c2w)
@@ -557,6 +577,7 @@ class Tracker:
             gt_event_lo,
             prev_color_lo,
             gt_depth_lo_flat,
+            gt_mask_lo,
             bias_in,
             jnp.asarray(scale, jnp.float32),
             cfg,

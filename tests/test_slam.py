@@ -75,6 +75,11 @@ class TestPipeline:
         assert np.isfinite(est[:3]).all()
         assert "event" in slam.tracker.last_losses
         assert np.isfinite(slam.tracker.last_losses["event"]).all()
+        # mask-head cross-entropy: logged-only metric (reference
+        # src/Tracker.py:222-224 computes it but never backprops it); a valid
+        # CE over {0,1} targets is strictly positive
+        mask_ce = np.asarray(slam.tracker.last_losses["mask"])
+        assert np.isfinite(mask_ce).all() and (mask_ce > 0).all()
 
     def test_imap_mode(self, tmp_path):
         cfg = tiny_cfg(tmp_path)
@@ -425,6 +430,7 @@ class TestAsyncMappingPath:
         }
         est = {}
         grid_leaf = {}
+        n_fast = {}
         for name, forced in (("fast", False), ("synced", True)):
             cfg = tiny_cfg(tmp_path / name, **base)
             cfg["mapping"]["save_selected_keyframes_info"] = forced
@@ -433,6 +439,11 @@ class TestAsyncMappingPath:
             grid_leaf[name] = np.asarray(
                 jax.tree.leaves(slam.grids)[0]
             ).copy()
+            n_fast[name] = slam.n_fast_maps
+        # guard against the gate regressing to always-synced, which would
+        # make the equality below vacuous (synced == synced)
+        assert n_fast["fast"] > 0
+        assert n_fast["synced"] == 0
         np.testing.assert_array_equal(est["fast"], est["synced"])
         np.testing.assert_array_equal(grid_leaf["fast"], grid_leaf["synced"])
 
@@ -446,3 +457,42 @@ class TestAsyncMappingPath:
         slam = EvenNICERSLAM(cfg, nice=True)
         est = slam.run(mesh=False, checkpoint=False)
         assert np.isfinite(est[: slam.n_img]).all()
+
+
+class TestBundleAdjustment:
+    def test_ba_anchors_oldest_keyframe_and_refines_current(self, tmp_path):
+        """Reference BA semantics (src/Mapper.py:296-300,715-731): the
+        oldest KEYFRAME in the window is frozen as the gauge anchor; every
+        other keyframe pose AND the current frame's pose are optimized, and
+        the refined current pose is returned."""
+        cfg = tiny_cfg(tmp_path, n_frames=14)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        est = slam.run(mesh=False, checkpoint=False)
+        assert np.isfinite(est[: slam.n_img]).all()
+        mapper = slam.mapper
+        assert len(mapper.keyframes) > 4
+        mapper.update_ba_state()
+        assert mapper.BA_active
+
+        window = [0, 2, 4, -1]
+        mapper.select_window = lambda *a, **k: list(window)
+        before = {
+            f: mapper.keyframes.frames[f]["est_c2w"].copy() for f in (0, 2, 4)
+        }
+        idx = slam.n_img - 1
+        frame = slam.frame_reader[idx]
+        cur = slam._pose_np(idx).copy()
+        _, _, new_c2w = mapper.optimize_map(
+            6, 1.0, idx, frame.color, frame.depth, frame.event, cur,
+            pre_gt_color=frame.color, seed=7,
+            grids=slam.grids, decoders=slam.decoders,
+        )
+        assert new_c2w is not None, "BA must return the refined current pose"
+        assert not np.allclose(new_c2w, cur), "current pose must be optimized"
+        np.testing.assert_array_equal(
+            mapper.keyframes.frames[0]["est_c2w"], before[0]
+        )  # oldest keyframe = fixed anchor
+        for f in (2, 4):
+            assert not np.array_equal(
+                mapper.keyframes.frames[f]["est_c2w"], before[f]
+            ), f"keyframe {f} pose should be optimized under BA"
