@@ -138,6 +138,57 @@ def random_select(n: int, k: int, rng: Optional[np.random.Generator] = None) -> 
 
 
 _FRUSTUM_JIT = None
+_FRUSTUM_MULTI_JIT = None
+
+
+def _frustum_mask_trace(c2w_d, depth_d, bound_d, K, Zs, Ys, Xs):
+    """Traceable body shared by the single- and multi-level jits."""
+    import jax.numpy as jnp
+    xs = jnp.linspace(bound_d[0, 0], bound_d[0, 1], Xs)
+    ys = jnp.linspace(bound_d[1, 0], bound_d[1, 1], Ys)
+    zs = jnp.linspace(bound_d[2, 0], bound_d[2, 1], Zs)
+    gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
+    points = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
+
+    w2c = jnp.linalg.inv(c2w_d.astype(jnp.float32))
+    cam_cord = points @ w2c[:3, :3].T + w2c[:3, 3]
+    cam_cord = cam_cord.at[:, 0].multiply(-1.0)
+    uvz = cam_cord @ K.T
+    z = uvz[:, 2] + 1e-5
+    u = uvz[:, 0] / z
+    v = uvz[:, 1] / z
+
+    # cv2.remap(INTER_LINEAR, BORDER_CONSTANT=0): bilinear sample of the
+    # depth image at (u, v); out-of-image corners contribute 0
+    H, W = depth_d.shape
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    fx_ = u - x0
+    fy_ = v - y0
+
+    def corner(xi, yi):
+        ok = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
+        xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
+        return jnp.where(ok, depth_d[yi_c, xi_c], 0.0)
+
+    d00 = corner(x0, y0)
+    d10 = corner(x0 + 1, y0)
+    d01 = corner(x0, y0 + 1)
+    d11 = corner(x0 + 1, y0 + 1)
+    depths = (
+        d00 * (1 - fx_) * (1 - fy_) + d10 * fx_ * (1 - fy_)
+        + d01 * (1 - fx_) * fy_ + d11 * fx_ * fy_
+    )
+
+    mask = (u < W) & (u > 0) & (v < H) & (v > 0)
+    dmax = jnp.max(depths)
+    depths = jnp.where(depths == 0, dmax, depths)
+    mask &= (0 <= -z) & (-z <= depths + 0.5)
+
+    dist2 = jnp.sum((points - c2w_d[:3, 3]) ** 2, axis=1)
+    mask |= dist2 < 0.25
+    return mask.reshape(Xs, Ys, Zs).transpose(2, 1, 0)
 
 
 def _get_frustum_jit():
@@ -147,58 +198,52 @@ def _get_frustum_jit():
     import functools
 
     import jax
+
+    _FRUSTUM_JIT = functools.partial(jax.jit, static_argnums=(4, 5, 6))(
+        _frustum_mask_trace
+    )
+    return _FRUSTUM_JIT
+
+
+def _get_frustum_multi_jit():
+    """All grid levels' frustum masks in ONE dispatch, already shaped
+    ``[Z, Y, X, 1]`` float32 as the mapper consumes them — the per-level
+    single-mask path costs 3 jit dispatches plus per-level eager
+    ``[..., None].astype`` ops, each a multi-ms round trip on a
+    remote-attached device."""
+    global _FRUSTUM_MULTI_JIT
+    if _FRUSTUM_MULTI_JIT is not None:
+        return _FRUSTUM_MULTI_JIT
+    import functools
+
+    import jax
     import jax.numpy as jnp
 
-    @functools.partial(jax.jit, static_argnums=(4, 5, 6))
-    def _mask(c2w_d, depth_d, bound_d, K, Zs, Ys, Xs):
-        xs = jnp.linspace(bound_d[0, 0], bound_d[0, 1], Xs)
-        ys = jnp.linspace(bound_d[1, 0], bound_d[1, 1], Ys)
-        zs = jnp.linspace(bound_d[2, 0], bound_d[2, 1], Zs)
-        gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
-        points = jnp.stack([gx, gy, gz], -1).reshape(-1, 3)
-
-        w2c = jnp.linalg.inv(c2w_d.astype(jnp.float32))
-        cam_cord = points @ w2c[:3, :3].T + w2c[:3, 3]
-        cam_cord = cam_cord.at[:, 0].multiply(-1.0)
-        uvz = cam_cord @ K.T
-        z = uvz[:, 2] + 1e-5
-        u = uvz[:, 0] / z
-        v = uvz[:, 1] / z
-
-        # cv2.remap(INTER_LINEAR, BORDER_CONSTANT=0): bilinear sample of the
-        # depth image at (u, v); out-of-image corners contribute 0
-        H, W = depth_d.shape
-        x0 = jnp.floor(u)
-        y0 = jnp.floor(v)
-        fx_ = u - x0
-        fy_ = v - y0
-
-        def corner(xi, yi):
-            ok = (xi >= 0) & (xi <= W - 1) & (yi >= 0) & (yi <= H - 1)
-            xi_c = jnp.clip(xi, 0, W - 1).astype(jnp.int32)
-            yi_c = jnp.clip(yi, 0, H - 1).astype(jnp.int32)
-            return jnp.where(ok, depth_d[yi_c, xi_c], 0.0)
-
-        d00 = corner(x0, y0)
-        d10 = corner(x0 + 1, y0)
-        d01 = corner(x0, y0 + 1)
-        d11 = corner(x0 + 1, y0 + 1)
-        depths = (
-            d00 * (1 - fx_) * (1 - fy_) + d10 * fx_ * (1 - fy_)
-            + d01 * (1 - fx_) * fy_ + d11 * fx_ * fy_
+    @functools.partial(jax.jit, static_argnames=("shapes",))
+    def _multi(c2w_d, depth_d, bound_d, K, shapes):
+        c2w_d = c2w_d.astype(jnp.float32)
+        return tuple(
+            _frustum_mask_trace(c2w_d, depth_d, bound_d, K, Z, Y, X)[..., None]
+            .astype(jnp.float32)
+            for (Z, Y, X) in shapes
         )
 
-        mask = (u < W) & (u > 0) & (v < H) & (v > 0)
-        dmax = jnp.max(depths)
-        depths = jnp.where(depths == 0, dmax, depths)
-        mask &= (0 <= -z) & (-z <= depths + 0.5)
+    _FRUSTUM_MULTI_JIT = _multi
+    return _multi
 
-        dist2 = jnp.sum((points - c2w_d[:3, 3]) ** 2, axis=1)
-        mask |= dist2 < 0.25
-        return mask.reshape(Xs, Ys, Zs).transpose(2, 1, 0)
 
-    _FRUSTUM_JIT = _mask
-    return _mask
+def frustum_feature_masks_dev(c2w, grid_shapes, depth_dev, bound, cam: Camera):
+    """Multi-level :func:`frustum_feature_mask_dev`: one jit dispatch for all
+    ``grid_shapes`` (a list of (Z, Y, X)), returning a tuple of [Z, Y, X, 1]
+    float32 masks. Host-side inputs stay numpy (no eager dispatches)."""
+    shapes = tuple(tuple(int(s) for s in shp) for shp in grid_shapes)
+    K = np.array(
+        [[cam.fx, 0.0, cam.cx], [0.0, cam.fy, cam.cy], [0.0, 0.0, 1.0]],
+        np.float32,
+    )
+    return _get_frustum_multi_jit()(
+        c2w, depth_dev, np.asarray(bound, np.float32), K, shapes
+    )
 
 
 def frustum_feature_mask_dev(c2w, grid_shape_zyx, depth_dev, bound, cam: Camera):

@@ -56,11 +56,11 @@ from evennicer_slam_tpu.slam.camera import Camera
 from evennicer_slam_tpu.slam.keyframes import (
     KeyframeStore,
     frustum_feature_mask,
-    frustum_feature_mask_dev,
+    frustum_feature_masks_dev,
     keyframe_selection_overlap,
     random_select,
 )
-from evennicer_slam_tpu.utils.optim import adam_init, adam_update
+from evennicer_slam_tpu.utils.optim import AdamState, adam_init, adam_update
 
 
 class MapperConfig(NamedTuple):
@@ -264,7 +264,7 @@ def _decoder_lr_tree(decoders, lrs: Dict[str, Any], cfg: MapperConfig, nice: boo
     static_argnames=(
         "cfg", "cam", "settings", "ba", "coarse_mapper", "pix_per_img",
         "use_frustum", "stages", "use_events", "fix_color_now", "fuse_coarse",
-        "pix_per_img_c", "dp",
+        "pix_per_img_c", "dp", "init_adam",
     ),
 )
 def map_frame_jit(
@@ -279,7 +279,7 @@ def map_frame_jit(
     depths,
     grid_masks,
     bound,
-    base_key,
+    seed_scalar,       # uint32 scalar; the PRNG key is derived in-program
     seg_lens,          # dict stage -> dynamic scalar iteration count
     seg_starts,        # dict stage -> dynamic global start iter (RNG/LR phase)
     lr_factor,         # dynamic scalar
@@ -304,6 +304,7 @@ def map_frame_jit(
     fuse_coarse: bool = False,
     pix_per_img_c: int = 0,
     dp=None,
+    init_adam: bool = False,
 ):
     """One full mapping call: sequential per-stage loops with dynamic lengths.
 
@@ -325,9 +326,24 @@ def map_frame_jit(
     ``num_iters`` iterations ride along for free — one executable, one
     dispatch, half the per-iteration overhead of running it separately.
 
+    ``init_adam``: build the (zero) Adam state INSIDE this program and ignore
+    the passed-in ``adam``/``adam_ev`` placeholders. ``adam_init`` on the host
+    would issue one eager ``zeros_like`` dispatch per parameter leaf (~90) —
+    each a multi-ms round trip on a remote-attached device — per mapping
+    call; in-program initialization is a single fused alloc. Callers chunking
+    a call (per-inner-iteration vis) set it on the FIRST chunk only and
+    thread the returned state through the rest.
+
     Returns (grids, decoders, cam_tensors, adam, adam_ev, last_loss,
     last_event_loss)."""
     params = (grids, decoders, cam_tensors)
+    if init_adam:
+        adam = adam_init(params)
+        if use_events:
+            adam_ev = adam_init(params)
+    # identical to a host-side PRNGKey(seed) for seeds < 2^32 (threefry key
+    # = [0, seed]); derived in-program to avoid 2 eager dispatches per call
+    base_key = jax.random.PRNGKey(seed_scalar)
 
     cfg_now = cfg._replace(fix_color=cfg.fix_color or fix_color_now)
 
@@ -479,6 +495,26 @@ def _mapper_event_loss(
 # host-side driver
 # ---------------------------------------------------------------------------
 
+@functools.partial(jax.jit, static_argnames=("cur_slots", "need_cams"))
+def _assemble_dev_jit(col_list, dep_list, kf_rows, cams, cur_c2w,
+                      cur_slots: Tuple[int, ...], need_cams: bool):
+    """Device-pose window assembly as ONE program: stack the window images,
+    splice the tracker's device pose (and its quat+trans tensor) into the
+    current-frame slots. Replaces ~20 eager dispatches per mapping call."""
+    colors = jnp.stack(col_list)
+    depths = jnp.stack(dep_list)
+    fixed = jnp.asarray(kf_rows, jnp.float32)
+    cams = jnp.asarray(cams, jnp.float32)
+    cur4 = jnp.asarray(cur_c2w, jnp.float32)
+    if need_cams:
+        cur_cam = tensor_from_pose_matrix(cur4[:3])
+    for slot in cur_slots:
+        fixed = fixed.at[slot].set(cur4)
+        if need_cams:
+            cams = cams.at[slot].set(cur_cam)
+    return colors, depths, fixed, cams
+
+
 class Mapper:
     """Host-side mapping driver: window selection, frustum masks, keyframe
     registry, and dispatch into map_frame_jit."""
@@ -519,6 +555,22 @@ class Mapper:
         lo_h = int(cam.H * cfg.event_scale_factor)
         lo_w = int(cam.W * cfg.event_scale_factor)
         self.lo_hw = (lo_h, lo_w)
+        # device-constant caches: these are re-used every mapping call; an
+        # eager jnp.ones/zeros per call is a multi-ms dispatch round trip on
+        # a remote-attached device
+        self._ones_masks: Dict[Tuple[int, ...], jnp.ndarray] = {}
+        self._zeros_cache: Dict[Tuple[int, ...], jnp.ndarray] = {}
+
+    def _ones_mask(self, shape_zyx) -> jnp.ndarray:
+        key = tuple(int(s) for s in shape_zyx)
+        if key not in self._ones_masks:
+            self._ones_masks[key] = jnp.ones(key + (1,), jnp.float32)
+        return self._ones_masks[key]
+
+    def _zeros(self, *shape) -> jnp.ndarray:
+        if shape not in self._zeros_cache:
+            self._zeros_cache[shape] = jnp.zeros(shape, jnp.float32)
+        return self._zeros_cache[shape]
 
     # -- window selection ---------------------------------------------------
 
@@ -590,22 +642,18 @@ class Mapper:
             cams = np.stack(
                 [tensor_from_pose_matrix_np(m[:3]) for m in kf_rows]
             ).astype(np.float32)
-        if cur_is_dev:
-            fixed_c2w = jnp.asarray(kf_rows)
-            cur4 = jnp.asarray(cur_c2w, jnp.float32)
-            if need_cams:
-                cams = jnp.asarray(cams)
-                cur_cam = tensor_from_pose_matrix(cur4[:3])
-            for slot, f in enumerate(frames):
-                if f == -1:
-                    fixed_c2w = fixed_c2w.at[slot].set(cur4)
-                    if need_cams:
-                        cams = cams.at[slot].set(cur_cam)
-        else:
-            fixed_c2w = kf_rows
         if cams is None:
             cams = np.zeros((len(frames), 7), np.float32)
-        return jnp.stack(col_list), jnp.stack(dep_list), fixed_c2w, cams
+        if cur_is_dev:
+            # single fused dispatch: stacks, pose splices, and the quat
+            # conversion ran as ~20 eager ops before (each a multi-ms round
+            # trip on a remote-attached device — ~300 ms per mapping call)
+            cur_slots = tuple(i for i, f in enumerate(frames) if f == -1)
+            return _assemble_dev_jit(
+                col_list, dep_list, kf_rows, cams, cur_c2w, cur_slots,
+                need_cams,
+            )
+        return jnp.stack(col_list), jnp.stack(dep_list), kf_rows, cams
 
     # -- main entry ---------------------------------------------------------
 
@@ -680,14 +728,19 @@ class Mapper:
         if fuse_coarse:
             c_frames = self.select_window(
                 None, None, None, selection="global", rng=self.rng_coarse)
-            colors_c, depths_c, fc2w_c, _ = self._assemble_window(
-                c_frames, cur_color_dev, cur_depth_dev, cur_c2w,
-                need_cams=False)
-            fixed_c2w_c = jnp.asarray(fc2w_c)
             pix_per_img_c = cfg.pixels // len(c_frames)
+            if c_frames == window:
+                # steady state with ≤ window_size keyframes: the coarse
+                # window draws the same frames — alias the already-assembled
+                # stacks instead of paying a second assembly dispatch
+                colors_c, depths_c, fixed_c2w_c = colors, depths, fixed_c2w
+            else:
+                colors_c, depths_c, fixed_c2w_c, _ = self._assemble_window(
+                    c_frames, cur_color_dev, cur_depth_dev, cur_c2w,
+                    need_cams=False)
         else:
             colors_c, depths_c = colors, depths
-            fixed_c2w_c = jnp.zeros((colors.shape[0], 4, 4), jnp.float32)
+            fixed_c2w_c = self._zeros(colors.shape[0], 4, 4)
             pix_per_img_c = 0
 
         ba = self.BA_active and not self.coarse_mapper
@@ -736,24 +789,29 @@ class Mapper:
         use_frustum = cfg.frustum_feature_selection and self.settings.nice and not color_refine
         grid_masks = {}
         if grids is not None:
+            masked = [
+                lvl for lvl in grids if use_frustum and lvl != "coarse"
+            ]
+            if masked and pose_is_dev:
+                # one dispatch for every level (per-level calls cost 3 jit
+                # dispatches + eager reshape/cast ops per mapping call)
+                ms = frustum_feature_masks_dev(
+                    cur_c2w, [grids[lvl].shape[:3] for lvl in masked],
+                    cur_depth_dev, self.bound_np, cam,
+                )
+                grid_masks.update(zip(masked, ms))
+            else:
+                for lvl in masked:
+                    m = frustum_feature_mask(
+                        cur_c2w, grids[lvl].shape[:3],
+                        np.asarray(cur_gt_depth), self.bound_np, cam,
+                    )
+                    grid_masks[lvl] = jnp.asarray(
+                        m[..., None].astype(np.float32)
+                    )
             for lvl, g in grids.items():
-                if use_frustum and lvl != "coarse":
-                    if pose_is_dev:
-                        m = frustum_feature_mask_dev(
-                            cur_c2w, g.shape[:3], cur_depth_dev,
-                            self.bound_np, cam,
-                        )
-                        grid_masks[lvl] = m[..., None].astype(jnp.float32)
-                    else:
-                        m = frustum_feature_mask(
-                            cur_c2w, g.shape[:3], np.asarray(cur_gt_depth),
-                            self.bound_np, cam,
-                        )
-                        grid_masks[lvl] = jnp.asarray(
-                            m[..., None].astype(np.float32)
-                        )
-                else:
-                    grid_masks[lvl] = jnp.ones(g.shape[:3] + (1,), jnp.float32)
+                if lvl not in grid_masks:
+                    grid_masks[lvl] = self._ones_mask(g.shape[:3])
 
         # event inputs
         use_events = cfg.use_events and not self.coarse_mapper and idx != 0
@@ -767,17 +825,22 @@ class Mapper:
             balancer = (pix_per_img * K) / (lo_w * lo_h) / 100.0
         else:
             use_events = False
-            prev_color_lo = jnp.zeros((lo_h, lo_w, 3))
-            gt_event_lo = jnp.zeros((lo_h, lo_w, 2))
-            gt_depth_lo_flat = jnp.zeros((lo_h * lo_w,))
+            prev_color_lo = self._zeros(lo_h, lo_w, 3)
+            gt_event_lo = self._zeros(lo_h, lo_w, 2)
+            gt_depth_lo_flat = self._zeros(lo_h * lo_w)
             balancer = 0.0
 
         new_grids, new_decoders = grids, decoders
-        new_cams = jnp.asarray(cam_tensors)
+        new_cams = cam_tensors
         params0 = (new_grids, new_decoders, new_cams)
-        adam = adam_init(params0)
-        adam_ev = adam_init(params0) if use_events else None
-        loss = ev_loss = jnp.zeros(())
+        # Adam state is initialized INSIDE map_frame_jit (init_adam on the
+        # first chunk); a host-side adam_init costs ~90 eager zeros_like
+        # dispatches per mapping call (~hundreds of ms on a remote-attached
+        # device). The placeholder aliases the parameter arrays — no
+        # transfers, no eager ops — and is dead under init_adam=True.
+        adam = AdamState(params0, params0, np.int32(0))
+        adam_ev = adam if use_events else None
+        loss = ev_loss = np.float32(0.0)
 
         if vis_callback is not None and vis_inside_freq > 0:
             chunks = [
@@ -787,19 +850,20 @@ class Mapper:
         else:
             chunks = [(0, total_iters)]
 
-        for a, b in chunks:
+        # numpy scalars throughout: each jnp.asarray here was an eager
+        # dispatch (multi-ms on a remote-attached device); numpy args ride
+        # the jit call's own transfer instead
+        for ci, (a, b) in enumerate(chunks):
             if vis_callback is not None and vis_inside_freq > 0:
                 vis_callback(a, new_grids, new_decoders, new_cams)
             seg_lens = {
-                s: jnp.asarray(
-                    max(0, min(b, spans[s][1]) - max(a, spans[s][0])), jnp.int32
+                s: np.int32(
+                    max(0, min(b, spans[s][1]) - max(a, spans[s][0]))
                 )
                 for s in stages
             }
             seg_starts = {
-                s: jnp.asarray(
-                    max(0, min(a, spans[s][1]) - spans[s][0]), jnp.int32
-                )
+                s: np.int32(max(0, min(a, spans[s][1]) - spans[s][0]))
                 for s in stages
             }
             (new_grids, new_decoders, new_cams, adam, adam_ev, loss,
@@ -809,21 +873,21 @@ class Mapper:
                 new_cams,
                 adam,
                 adam_ev,
-                jnp.asarray(fixed_c2w),
-                jnp.asarray(opt_mask),
+                fixed_c2w,
+                opt_mask,
                 colors,
                 depths,
                 grid_masks,
                 self.bound,
-                jax.random.PRNGKey(seed),
+                np.uint32(seed),
                 seg_lens,
                 seg_starts,
-                jnp.asarray(lr_factor, jnp.float32),
+                np.float32(lr_factor),
                 prev_color_lo,
                 gt_event_lo,
                 gt_depth_lo_flat,
                 self.eventnet,
-                jnp.asarray(balancer, jnp.float32),
+                np.float32(balancer),
                 colors_c,
                 depths_c,
                 fixed_c2w_c,
@@ -840,6 +904,7 @@ class Mapper:
                 fuse_coarse,
                 pix_per_img_c,
                 self.dp,
+                init_adam=(ci == 0),
             )
         # device scalar on purpose: float() would stall the host on the whole
         # mapping program; the pipeline fetches it in deferred metric batches
