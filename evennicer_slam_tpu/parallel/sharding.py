@@ -21,7 +21,7 @@ documented there).
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -64,3 +64,68 @@ def constrain_dp(x: jnp.ndarray, dp: Optional[NamedSharding]):
     return jax.lax.with_sharding_constraint(
         x, NamedSharding(dp.mesh, spec)
     )
+
+
+# ---------------------------------------------------------------------------
+# concurrent tracker/mapper device groups (sync_method: loose | free)
+# ---------------------------------------------------------------------------
+
+class SubmeshPlan(NamedTuple):
+    """Disjoint device groups for true tracker/mapper concurrency.
+
+    The reference's ``sync_method: loose``/``free`` let the tracker run
+    ahead of the mapper because they are separate PROCESSES sharing one GPU
+    (reference src/Tracker.py:281-295, src/Mapper.py:743-757). The
+    TPU-native equivalent is separate DEVICE GROUPS in one process: the
+    tracker's programs execute on ``track`` devices while mapping programs
+    execute simultaneously on ``map`` devices — JAX dispatch is
+    asynchronous per device, so the two queues drain in parallel with no
+    threads and no IPC. Grids flow mapper→tracker by an explicit
+    ``jax.device_put`` snapshot at adoption points, exactly the reference's
+    ``update_para_from_mapping`` copy.
+    """
+
+    track_dp: Optional[NamedSharding]  # ray-dp over the track group (None if 1 device)
+    map_dp: Optional[NamedSharding]    # ray-dp over the map group (None if 1 device)
+    track_repl: NamedSharding          # replicated placement on the track group
+    map_repl: NamedSharding            # replicated placement on the map group
+
+    @property
+    def n_track(self) -> int:
+        return len(self.track_repl.mesh.devices.ravel())
+
+    @property
+    def n_map(self) -> int:
+        return len(self.map_repl.mesh.devices.ravel())
+
+
+def concurrent_submeshes(cfg: Dict[str, Any]) -> Optional[SubmeshPlan]:
+    """Build the (track, map) device split, or None when unavailable.
+
+    Enabled by ``sync_method: loose|free`` together with
+    ``parallel.map_devices`` = K (int; ``'auto'`` = 1/4 of the devices,
+    min 1). The map group takes the LAST K devices; the track group gets the
+    rest. With fewer than K+1 devices (e.g. the single bench chip) this
+    returns None and loose/free fall back to the strict schedule — the
+    documented single-device behavior."""
+    sync = cfg.get("sync_method", "strict")
+    if sync not in ("loose", "free"):
+        return None
+    want = cfg.get("parallel", {}).get("map_devices", 0)
+    devs = jax.devices()
+    if want == "auto":
+        k = max(1, len(devs) // 4)
+    else:
+        k = int(want or 0)
+    if k <= 0 or len(devs) < k + 1:
+        return None
+    track_devs, map_devs = devs[: len(devs) - k], devs[len(devs) - k:]
+
+    def group(ds):
+        mesh = Mesh(np.array(ds), ("dp",))
+        dp = NamedSharding(mesh, P("dp")) if len(ds) > 1 else None
+        return dp, NamedSharding(mesh, P())
+
+    track_dp, track_repl = group(track_devs)
+    map_dp, map_repl = group(map_devs)
+    return SubmeshPlan(track_dp, map_dp, track_repl, map_repl)

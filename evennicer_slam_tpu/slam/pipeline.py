@@ -19,10 +19,17 @@ uploaded one frame ahead on a worker thread (data/prefetch.py), and metrics
 are fetched in deferred batches — so the host's steady-state loop only
 enqueues work and never blocks on the device. The tracker always consumes the
 newest mapped grids by data flow, which is exactly the reference's ``strict``
-consistency; ``loose``/``free`` (bounded/unbounded tracking lag,
-src/Tracker.py:281-295) are accepted and shape only how far the host may run
-ahead of the device queue — they cannot change results here because a single
-device executes the queue in order.
+consistency.
+
+``sync_method: loose``/``free`` (bounded/unbounded tracking lag,
+src/Tracker.py:281-295) become TRUE concurrency when
+``parallel.map_devices`` splits the device mesh: tracking programs execute
+on one device group while mapping programs execute simultaneously on the
+other, the tracker adopting each completed map by an explicit
+device-to-device snapshot (``_adopt_pending_map`` — the reference's
+``update_para_from_mapping``), with the reference's lag bound enforced in
+``_loose_wait``. On a single device group loose/free degenerate to the
+strict schedule (one queue executes in order), as documented.
 """
 
 from __future__ import annotations
@@ -147,9 +154,32 @@ class EvenNICERSLAM:
             self.cam.H, self.cam.W, self.cam.fx, self.cam.fy,
             self.cam.cx, self.cam.cy, self.bound, self.settings,
         )
-        from evennicer_slam_tpu.parallel.sharding import pipeline_dp_sharding
+        from evennicer_slam_tpu.parallel.sharding import (
+            concurrent_submeshes,
+            pipeline_dp_sharding,
+        )
 
-        self.dp_sharding = pipeline_dp_sharding(cfg)
+        # sync_method loose/free + parallel.map_devices: the tracker and the
+        # mapper run CONCURRENTLY on disjoint device groups (the reference's
+        # separate-process semantics, src/Tracker.py:281-295 — see
+        # SubmeshPlan). Otherwise both share one dp mesh and the schedule is
+        # strict (which loose/free degenerate to on a single device group).
+        self.submeshes = concurrent_submeshes(cfg)
+        self.concurrent = self.submeshes is not None
+        if self.concurrent:
+            self.dp_sharding = None
+            track_dp, map_dp = self.submeshes.track_dp, self.submeshes.map_dp
+            # commit the scene state to the MAP group: mapping programs then
+            # execute there even when the group has one device (otherwise
+            # uncommitted inputs would pull them onto the default device —
+            # the tracker's — and serialize the two queues again)
+            self.grids = jax.device_put(self.grids, self.submeshes.map_repl)
+            self.decoders = jax.device_put(
+                self.decoders, self.submeshes.map_repl
+            )
+        else:
+            self.dp_sharding = pipeline_dp_sharding(cfg)
+            track_dp = map_dp = self.dp_sharding
         t_cfg = TrackerConfig.from_cfg(cfg, self.use_events)
         m_cfg = MapperConfig.from_cfg(
             cfg, use_events=cfg.get("mapping", {}).get("use_events", False)
@@ -162,11 +192,17 @@ class EvenNICERSLAM:
             and jax.default_backend() != "cpu"
         )
         tracker_settings = self.settings._replace(fused_decode=fused)
+        # in concurrent mode each engine gets a group-local copy of the
+        # EventNet weights so neither jit mixes committed device groups
+        evnet_track = evnet_map = self.eventnet
+        if self.concurrent and self.eventnet:
+            evnet_track = jax.device_put(self.eventnet, self.submeshes.track_repl)
+            evnet_map = jax.device_put(self.eventnet, self.submeshes.map_repl)
         self.tracker = Tracker(t_cfg, self.cam, tracker_settings, self.bound,
-                               self.eventnet, dp=self.dp_sharding)
+                               evnet_track, dp=track_dp)
         self.mapper = Mapper(m_cfg, self.cam, self.settings, self.bound,
-                             coarse_mapper=False, eventnet=self.eventnet,
-                             dp=self.dp_sharding)
+                             coarse_mapper=False, eventnet=evnet_map,
+                             dp=map_dp)
         # coarse mapping: fused into the fine mapper's executable by default
         # (disjoint parameter sets — see map_frame_jit's fuse_coarse note);
         # mapping.fuse_coarse=false restores the separate-dispatch coarse
@@ -177,7 +213,7 @@ class EvenNICERSLAM:
         self.mapper.fuse_coarse = fuse_coarse
         self.coarse_mapper = (
             Mapper(m_cfg, self.cam, self.settings, self.bound,
-                   coarse_mapper=True, dp=self.dp_sharding)
+                   coarse_mapper=True, dp=map_dp)
             if (self.coarse and not fuse_coarse) else None
         )
         self.t_cfg, self.m_cfg = t_cfg, m_cfg
@@ -194,6 +230,17 @@ class EvenNICERSLAM:
         # async mapping fast path: taken-count (observability + tests) and
         # the sliding window of in-flight mapping outputs that paces the host
         self.n_fast_maps = 0
+        # concurrent (loose/free) scheduling state: the tracker's snapshot of
+        # the last COMPLETED map (reference update_para_from_mapping,
+        # src/Tracker.py:248-260), the one in-flight mapping call, and an
+        # observability trace of (tracked idx, adopted mapping_idx) pairs
+        self._track_grids = None
+        self._track_decoders = None
+        self._pending_map: Optional[Dict[str, Any]] = None
+        self._last_map_dispatch_idx = -1
+        self.adopted_map_idx = -1
+        self.n_concurrent_maps = 0
+        self.lag_trace: list = []
         self._inflight_maps: deque = deque()
         self._max_inflight_maps = int(
             cfg["mapping"].get("max_inflight_maps", 4)
@@ -349,6 +396,92 @@ class EvenNICERSLAM:
             total = ev if total is None else total + ev
         return total
 
+    # ------------------------------------------------------------------
+    # concurrent (loose/free) tracker/mapper scheduling
+
+    def _track_state(self):
+        """(grids, decoders) the TRACKER consumes. Concurrent mode: the
+        snapshot of the last completed mapping, living on the track device
+        group (reference update_para_from_mapping, src/Tracker.py:248-260).
+        Otherwise the live mapper state (strict data flow)."""
+        if not self.concurrent:
+            return self.grids, self.decoders
+        if self._track_grids is None:
+            self._adopt_map_snapshot()
+        return self._track_grids, self._track_decoders
+
+    def _adopt_map_snapshot(self):
+        """Copy the mapper's current grids/decoders to the track group
+        (async device-to-device transfer; on TPU this rides ICI)."""
+        sm = self.submeshes
+        self._track_grids = jax.device_put(self.grids, sm.track_repl)
+        self._track_decoders = jax.device_put(self.decoders, sm.track_repl)
+
+    def _map_probe(self) -> jnp.ndarray:
+        """A 1-element view of the newest mapping output: its readiness is
+        the completion signal for the whole mapping program."""
+        leaves = jax.tree.leaves(self.grids) or jax.tree.leaves(self.decoders)
+        return leaves[0].reshape(-1)[:1]
+
+    def _adopt_pending_map(self, block: bool = False) -> bool:
+        """Adopt the in-flight mapping call's output into the tracker's
+        snapshot if it has COMPLETED (block=True: wait for it). Adopting an
+        unfinished mapping would make the tracker's next program wait on the
+        mapper's devices — exactly the serialization concurrency exists to
+        avoid — so the non-blocking path is gated on readiness."""
+        p = self._pending_map
+        if p is None:
+            return False
+        if block:
+            np.asarray(jax.device_get(p["probe"]))
+        elif not p["probe"].is_ready():
+            return False
+        self._adopt_map_snapshot()
+        self.adopted_map_idx = p["idx"]
+        self._pending_map = None
+        return True
+
+    def _maybe_dispatch_map(self, idx: int, frame, images_dev) -> bool:
+        """Loose/free mapper scheduling (reference src/Mapper.py:748-757):
+        a new mapping call starts once the previous one finished AND
+        tracking advanced >= every_frame//2 frames past the last mapped
+        index ('free': any advance). The mapped frame is the latest tracked
+        one — exactly the reference mapper, which maps whatever ``idx[0]``
+        holds when it comes around."""
+        if self._pending_map is not None and not self._adopt_pending_map():
+            return False
+        gap = idx - self._last_map_dispatch_idx
+        min_gap = (
+            1 if self.sync_method == "free"
+            else max(1, self.m_cfg.every_frame // 2)
+        )
+        if gap < min_gap:
+            return False
+        self._map_frame(idx, frame, init=False, images_dev=images_dev)
+        self._pending_map = {"idx": idx, "probe": self._map_probe()}
+        self._last_map_dispatch_idx = idx
+        self.n_concurrent_maps += 1
+        return True
+
+    def _loose_wait(self, idx: int):
+        """Reference tracker-side bound (src/Tracker.py:288-292): block while
+        the adopted map is more than every_frame + every_frame//2 frames
+        behind the frame about to be tracked."""
+        every = self.m_cfg.every_frame
+        while self.adopted_map_idx < idx - every - every // 2:
+            if self._adopt_pending_map(block=True):
+                continue
+            # mapper idle but stale (only reachable after resume): map the
+            # newest tracked frame so the bound can be satisfied
+            if self._last_map_dispatch_idx < idx - 1 and idx >= 1:
+                f_prev = self.frame_reader[idx - 1]
+                self._map_frame(idx - 1, f_prev, init=False)
+                self._pending_map = {"idx": idx - 1, "probe": self._map_probe()}
+                self._last_map_dispatch_idx = idx - 1
+                self.n_concurrent_maps += 1
+            else:
+                break
+
     def _async_map_ok(self) -> bool:
         """True when a steady-state mapping call can run from the tracker's
         DEVICE pose without the host ever needing the pose value: window
@@ -367,6 +500,16 @@ class EvenNICERSLAM:
         cfg = self.cfg
         m = self.m_cfg
         gt_event_int = self._integrated_event(idx) if self.use_events else frame.event
+        if self.concurrent:
+            # mapping inputs move to the MAP device group so the mapping
+            # program executes there, concurrently with tracking (committed
+            # placements from the track group would otherwise either error
+            # or drag the computation onto the tracker's devices)
+            sm = self.submeshes
+            if images_dev is not None:
+                images_dev = tuple(jax.device_put(list(images_dev), sm.map_repl))
+            if isinstance(gt_event_int, jnp.ndarray):
+                gt_event_int = jax.device_put(gt_event_int, sm.map_repl)
         # Steady-state async path: the mapping call takes the tracker's
         # DEVICE pose directly (window pose rows spliced on device, frustum
         # masks computed on device). No blocking host round trip per mapped
@@ -379,6 +522,10 @@ class EvenNICERSLAM:
             cur_c2w = self._pose(idx)
             if isinstance(cur_c2w, np.ndarray):
                 cur_c2w = cur_c2w.copy()
+            elif self.concurrent:
+                # tracked pose lives on the track group; the mapping program
+                # needs it on the map group
+                cur_c2w = jax.device_put(cur_c2w, self.submeshes.map_repl)
         else:
             cur_c2w = self._pose_np(idx).copy()
 
@@ -457,7 +604,7 @@ class EvenNICERSLAM:
             images_dev[0] if images_dev is not None else frame.color
         )
 
-        if fast:
+        if fast and not self.concurrent:
             # Bound host run-ahead: with the synced pose fetch gone, nothing
             # paces the host, and every in-flight mapping program pins its
             # own grids pytree + window buffers in HBM — a long run would
@@ -482,8 +629,9 @@ class EvenNICERSLAM:
         lo = tr.lo_hw
         gt_ev_lo = resize_nearest(tr.gt_event_integrate, lo)
         prev_lo = resize_bilinear(tr.pre_gt_color, lo)
+        g, d = self._track_state()
         _, _, cur_lo = self.renderer.render_img_rescale(
-            self.decoders, self.grids,
+            d, g,
             jnp.asarray(self._pose_np(idx)[:3]), "color",
             gt_depth=gt_depth, scale_factor=self.t_cfg.scale_factor,
         )
@@ -496,6 +644,9 @@ class EvenNICERSLAM:
         (the frame was uploaded ahead of time by the prefetch worker)."""
         frame, dev = self.frame_reader.get_with_device(idx)
         self.gt_c2w_list[idx] = frame.c2w
+        if self.concurrent:
+            # frames feed the tracker: commit them to the track group
+            dev = tuple(jax.device_put(list(dev), self.submeshes.track_repl))
         gt_color, gt_depth, gt_event = dev
 
         if idx == 0 or self.t_cfg.gt_camera:
@@ -506,15 +657,29 @@ class EvenNICERSLAM:
                 t0 = time.perf_counter()
                 self._map_frame(idx, frame, init=True,
                                 images_dev=(gt_color, gt_depth))
+                if self.concurrent:
+                    # reference gates tracking on mapping_first_frame
+                    # (src/EvenNICER_SLAM.py:285-289): adopt the init map
+                    # before the first tracked frame
+                    self._pending_map = {"idx": 0, "probe": self._map_probe()}
+                    self._last_map_dispatch_idx = 0
+                    self.n_concurrent_maps += 1
+                    self._adopt_pending_map(block=True)
                 self.timings["map"] += time.perf_counter() - t0
                 self.tracker.pre_gt_color = gt_color
         else:
             t0 = time.perf_counter()
+            if self.concurrent:
+                self._adopt_pending_map(block=False)
+                if self.sync_method == "loose":
+                    self._loose_wait(idx)
+                self.lag_trace.append((idx, self.adopted_map_idx))
+            track_grids, track_decoders = self._track_state()
             pre = self._pose(idx - 1)
             prepre = self._pose(idx - 2) if idx >= 2 else None
             c2w = self.tracker.track(
                 idx, gt_color, gt_depth, gt_event, pre, prepre,
-                self.decoders, self.grids, seed=idx,
+                track_decoders, track_grids, seed=idx,
             )
             self._set_pose(idx, c2w)
             boundary = idx % self.m_cfg.every_frame == 0 or idx == self.n_img - 1
@@ -545,12 +710,32 @@ class EvenNICERSLAM:
                 gt_ev_lo = pred_ev = None
                 if self.use_events and self.tracker.pre_gt_color is not None:
                     gt_ev_lo, pred_ev = self._predict_event_for_vis(idx, gt_depth)
+                g, d = self._track_state()
                 vis.vis(idx, 0, gt_depth, gt_color,
-                        self._pose_np(idx), self.grids, self.decoders,
+                        self._pose_np(idx), g, d,
                         gt_event=gt_ev_lo, pred_event=pred_ev)
 
         mapped = False
-        if idx != 0 and idx % self.m_cfg.every_frame == 0:
+        if self.concurrent and idx != 0:
+            t0 = time.perf_counter()
+            if idx == self.n_img - 1:
+                # final frame is always mapped (reference src/Mapper.py:747):
+                # drain the in-flight call, then map it synchronously
+                self._adopt_pending_map(block=True)
+                if self._last_map_dispatch_idx != idx:
+                    self._map_frame(idx, frame, init=False,
+                                    images_dev=(gt_color, gt_depth))
+                    self._last_map_dispatch_idx = idx
+                    self.n_concurrent_maps += 1
+                    self.adopted_map_idx = idx
+                    self._adopt_map_snapshot()
+                mapped = True
+            else:
+                mapped = self._maybe_dispatch_map(
+                    idx, frame, (gt_color, gt_depth)
+                )
+            self.timings["map"] += time.perf_counter() - t0
+        elif idx != 0 and idx % self.m_cfg.every_frame == 0:
             t0 = time.perf_counter()
             self._map_frame(idx, frame, init=False,
                             images_dev=(gt_color, gt_depth))

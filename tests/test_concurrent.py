@@ -1,0 +1,160 @@
+"""Concurrent tracker/mapper execution on disjoint device groups
+(``sync_method: loose | free`` + ``parallel.map_devices``).
+
+The reference realizes loose/free sync with separate PROCESSES sharing one
+GPU (src/Tracker.py:281-295, src/Mapper.py:743-757); here the same schedule
+runs as two device groups draining their queues in parallel, the tracker
+adopting each COMPLETED mapping by snapshot. These tests pin the scheduling
+invariants on the 8-virtual-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from evennicer_slam_tpu.parallel.sharding import concurrent_submeshes
+from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
+
+from test_slam import tiny_cfg
+
+
+def _device_ids(tree):
+    return {
+        d.id for leaf in jax.tree.leaves(tree) for d in leaf.devices()
+    }
+
+
+def _loose_cfg(tmp_path, map_devices=2, **overrides):
+    return tiny_cfg(
+        tmp_path,
+        n_frames=8,
+        sync_method="loose",
+        parallel={"map_devices": map_devices},
+        **overrides,
+    )
+
+
+class TestSubmeshPlan:
+    def test_split(self):
+        plan = concurrent_submeshes(
+            {"sync_method": "loose", "parallel": {"map_devices": 2}}
+        )
+        assert plan is not None
+        assert plan.n_track == 6 and plan.n_map == 2
+        track_ids = {d.id for d in plan.track_repl.mesh.devices.ravel()}
+        map_ids = {d.id for d in plan.map_repl.mesh.devices.ravel()}
+        assert track_ids.isdisjoint(map_ids)
+        assert plan.track_dp is not None  # 6 devices -> ray dp
+        assert plan.map_dp is not None
+
+    def test_disabled_cases(self):
+        # strict never splits; loose without map_devices falls back
+        assert concurrent_submeshes({"sync_method": "strict",
+                                     "parallel": {"map_devices": 2}}) is None
+        assert concurrent_submeshes({"sync_method": "loose"}) is None
+        # auto = 1/4 of the devices
+        plan = concurrent_submeshes(
+            {"sync_method": "free", "parallel": {"map_devices": "auto"}}
+        )
+        assert plan is not None and plan.n_map == 2
+
+    def test_single_device_group(self):
+        plan = concurrent_submeshes(
+            {"sync_method": "loose", "parallel": {"map_devices": 1}}
+        )
+        assert plan is not None
+        assert plan.n_map == 1 and plan.map_dp is None
+        assert plan.n_track == 7 and plan.track_dp is not None
+
+
+class TestConcurrentPipeline:
+    def test_loose_runs_and_tracks(self, tmp_path):
+        cfg = _loose_cfg(tmp_path)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.concurrent
+        est = slam.run(mesh=False, checkpoint=False)
+
+        n = slam.n_img
+        assert np.isfinite(est[:n]).all()
+        err = np.linalg.norm(
+            est[:n, :3, 3] - slam.gt_c2w_list[:n, :3, 3], axis=-1
+        )
+        assert err.max() < 0.5
+
+        # scene state lives on the MAP group, the tracker snapshot on the
+        # TRACK group — the structural precondition for real overlap
+        map_ids = {d.id for d in slam.submeshes.map_repl.mesh.devices.ravel()}
+        track_ids = {
+            d.id for d in slam.submeshes.track_repl.mesh.devices.ravel()
+        }
+        assert _device_ids(slam.grids) <= map_ids
+        assert _device_ids(slam._track_grids) <= track_ids
+
+        # mapper ran concurrently: several dispatches, incl. frame 0 + final
+        assert slam.n_concurrent_maps >= 3
+        # reference loose bound: adopted map never lags the tracked frame by
+        # more than every_frame + every_frame//2
+        every = slam.m_cfg.every_frame
+        assert slam.lag_trace, "tracker never recorded its lag"
+        for idx, adopted in slam.lag_trace:
+            assert adopted >= idx - every - every // 2
+            assert adopted <= idx  # never adopts the future
+
+    def test_loose_mapper_cadence(self, tmp_path):
+        """Mapping dispatches respect the reference's mapper-side rule:
+        a new call only once tracking advanced >= every_frame//2."""
+        cfg = _loose_cfg(tmp_path, mapping={"color_refine": False})
+        slam = EvenNICERSLAM(cfg, nice=True)
+        dispatched = []
+        orig = slam._map_frame
+
+        def spy(idx, *a, **kw):
+            dispatched.append(idx)
+            return orig(idx, *a, **kw)
+
+        slam._map_frame = spy
+        slam.run(mesh=False, checkpoint=False)
+        gaps = np.diff(dispatched)
+        min_gap = max(1, slam.m_cfg.every_frame // 2)
+        assert (gaps >= min_gap).all()
+        assert dispatched[0] == 0 and dispatched[-1] == slam.n_img - 1
+
+    def test_free_runs(self, tmp_path):
+        cfg = tiny_cfg(
+            tmp_path, n_frames=6, sync_method="free",
+            parallel={"map_devices": 2},
+        )
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.concurrent and slam.sync_method == "free"
+        est = slam.run(mesh=False, checkpoint=False)
+        assert np.isfinite(est[: slam.n_img]).all()
+        assert slam.n_concurrent_maps >= 2
+
+    def test_loose_with_events(self, tmp_path):
+        """Out-of-cadence mapping calls re-integrate their own event window
+        (reference src/Mapper.py:766-772) — the loose schedule exercises
+        that path on almost every call."""
+        cfg = _loose_cfg(tmp_path, events=True)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.use_events and slam.concurrent
+        est = slam.run(mesh=False, checkpoint=False)
+        assert np.isfinite(est[: slam.n_img]).all()
+
+    def test_final_snapshot_matches_mapper(self, tmp_path):
+        """With color refinement off, the last adoption leaves the tracker
+        snapshot bit-identical to the mapper's final grids (the transfer is
+        a copy, not a recompute)."""
+        cfg = _loose_cfg(tmp_path, mapping={"color_refine": False})
+        slam = EvenNICERSLAM(cfg, nice=True)
+        slam.run(mesh=False, checkpoint=False)
+        a = jax.device_get(slam._track_grids)
+        b = jax.device_get(slam.grids)
+        for k in b:
+            np.testing.assert_array_equal(a[k], b[k])
+
+    def test_loose_single_group_falls_back_to_strict(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, n_frames=4, sync_method="loose")
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert not slam.concurrent  # no map_devices -> strict schedule
+        est = slam.run(mesh=False, checkpoint=False)
+        assert np.isfinite(est[: slam.n_img]).all()
+        assert slam.n_concurrent_maps == 0
