@@ -25,7 +25,20 @@ frames — reference configs/Replica/replica.yaml:17-39). At dp=N the
 per-device event render is (H*0.15/sqrt(N)) x (W*0.15/sqrt(N)) rays, the
 RGB-D batch 200/N rays, the mapping batch 1000/N rays.
 
+``--overlap T:M`` additionally projects the CONCURRENT loose-mode schedule
+(sync_method: loose + parallel.map_devices, slam/pipeline.py): tracking on a
+T-device group overlapped with mapping on an M-device group. Per-device
+track-only time is measured at share T (mapping cadence pushed past the
+window), the per-call mapping cost at share M is isolated as
+(full - track_only) * every_frame at share M, and the loose scheduling model
+is applied: the tracker runs freely while every mapping call completes
+within the reference lag bound (every_frame + every_frame//2 tracked
+frames, src/Tracker.py:288-292); otherwise the tracker throttles to the
+mapper's rate. Grid-snapshot adoption (an ICI device-to-device copy that
+overlaps tracking) is costed explicitly.
+
 Usage:  python -m evennicer_slam_tpu.tools.project_dp [--shares 1 8]
+                                                      [--overlap 6:2 7:1]
 Writes benchmarks/dp_projection.json and prints one JSON line.
 """
 
@@ -124,6 +137,10 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     ap.add_argument("--shares", type=int, nargs="+", default=[1, 8],
                     help="dp degrees to measure per-device shapes for")
+    ap.add_argument("--overlap", nargs="*", default=[],
+                    help="T:M splits to project the concurrent loose-mode "
+                         "schedule for (track group of T devices, map group "
+                         "of M)")
     ap.add_argument("--frames", type=int, default=MEASURE_FRAMES)
     ap.add_argument("--out", default="benchmarks/dp_projection.json")
     ap.add_argument("--every_frame", type=int, default=5,
@@ -150,16 +167,33 @@ def main():
         traj_step=0.01, reuse_if_current=True,
     )
 
+    splits = []
+    for s in args.overlap:
+        t, m = s.split(":")
+        splits.append((int(t), int(m)))
+
+    _cache = {}
+    _slam_box = [None]
+
+    def measure(share: int, every: int):
+        key = (share, every)
+        if key not in _cache:
+            ms, rays, gb, slam = _build(
+                share, scene_dir, frag, args.frames, every)
+            _slam_box[0] = slam
+            _cache[key] = (ms, rays, gb)
+            tag = "track-only" if every >= 10**9 else f"every={every}"
+            print(f"[project_dp] share={share} ({tag}): {ms:.1f} ms/frame "
+                  f"({rays} event rays/device)", flush=True)
+        return _cache[key]
+
     rows = []
-    slam = None
     for share in args.shares:
-        ms_frame, rays, grid_bytes, slam = _build(
-            share, scene_dir, frag, args.frames, args.every_frame)
+        ms_frame, rays, grid_bytes = measure(share, args.every_frame)
         rows.append({"share": share, "ms_per_frame_measured": round(ms_frame, 1),
                      "event_rays_per_device": rays,
                      "grid_bytes": grid_bytes})
-        print(f"[project_dp] share={share}: {ms_frame:.1f} ms/frame "
-              f"({rays} event rays/device)", flush=True)
+    slam = _slam_box[0]
 
     # UNet replication correction: at dp=N the net runs on the FULL gathered
     # image on every device, so the small-shape runs above under-charge it.
@@ -210,6 +244,68 @@ def main():
             proj["speedup_vs_dp1"] = round(
                 base["ms_per_frame_measured"] / ms, 2)
         out["projections"].append(proj)
+
+    if splits:
+        out["overlap_projections"] = []
+        every = args.every_frame
+        lag_frames = every + every // 2  # reference loose bound
+        track_iters = slam.t_cfg.iters
+        m_iters = slam.m_cfg.iters
+        for T, M in splits:
+            track_T, _, grid_bytes = measure(T, 10**9)
+            track_M, _, _ = measure(M, 10**9)
+            full_M, _, _ = measure(M, every)
+            slam = _slam_box[0]
+            # per-CALL mapping cost at map-group share M, isolated by
+            # subtracting the (share-M) tracking it was interleaved with
+            map_call = max(0.0, full_M - track_M) * every
+            if T > 1:
+                unet_small = _unet_ms(
+                    slam.eventnet,
+                    (int(H * 0.15 / math.sqrt(T)),
+                     int(W * 0.15 / math.sqrt(T))))
+                unet_corr = (unet_full - unet_small) * track_iters
+                lo_bytes = full_hw[0] * full_hw[1] * 3 * 4
+                coll_track = (lo_bytes / ICI_BW_BYTES * 1e3 + 0.01) * track_iters
+            else:
+                unet_corr = coll_track = 0.0
+            coll_map_call = (
+                2 * (M - 1) / M * grid_bytes / ICI_BW_BYTES * 1e3 * m_iters
+                if M > 1 else 0.0
+            )
+            ms_track = track_T + unet_corr + coll_track
+            map_call_eff = map_call + coll_map_call
+            # adoption snapshot: one grids copy map-group -> track-group per
+            # completed call; it overlaps tracking on ICI (reported, not
+            # added to the critical path)
+            adopt_ms = grid_bytes / ICI_BW_BYTES * 1e3
+            if map_call_eff <= lag_frames * ms_track:
+                fps = 1e3 / ms_track
+                bound = "tracker-bound (mapping hidden)"
+                cadence = max(
+                    max(1, every // 2),
+                    math.ceil(map_call_eff / max(ms_track, 1e-6)),
+                )
+            else:
+                fps = 1e3 * lag_frames / map_call_eff
+                bound = "mapper-bound (loose lag bound throttles tracking)"
+                cadence = lag_frames
+            row = {
+                "split": f"track={T} map={M}", "fps": round(fps, 2),
+                "bound": bound,
+                "ms_track_per_frame": round(ms_track, 1),
+                "ms_map_per_call": round(map_call_eff, 1),
+                "mapping_cadence_frames": cadence,
+                "ms_adoption_copy_overlapped": round(adopt_ms, 2),
+                "basis": "per-device shapes measured on 1 chip + loose "
+                         "schedule model + stated collective estimates",
+            }
+            if base is not None:
+                row["speedup_vs_dp1_strict"] = round(
+                    fps * base["ms_per_frame_measured"] / 1e3, 2)
+            out["overlap_projections"].append(row)
+            print(f"[project_dp] overlap {row['split']}: {row['fps']} fps "
+                  f"({bound})", flush=True)
 
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
