@@ -124,9 +124,12 @@ class EvenNICERSLAM:
             and cfg.get("event", {})
         )
 
-        # EventNet: torch .pth (converted) or native .npz weights
+        # EventNet: torch .pth (converted) or native .npz weights; the
+        # analytic predictor ("event.predictor: esim") needs no weights
         self.eventnet = {}
-        if self.use_events:
+        if self.use_events and cfg["event"].get("predictor", "unet") == "esim":
+            pass
+        elif self.use_events:
             path = cfg["event"].get("pretrained_path")
             if path and os.path.exists(path):
                 if path.endswith(".npz"):
@@ -635,7 +638,12 @@ class EvenNICERSLAM:
             jnp.asarray(self._pose_np(idx)[:3]), "color",
             gt_depth=gt_depth, scale_factor=self.t_cfg.scale_factor,
         )
-        pred, _ = inference_event(self.eventnet, prev_lo, cur_lo)
+        if self.t_cfg.predictor == "esim":
+            from evennicer_slam_tpu.slam.tracker import esim_predict
+
+            pred, _ = esim_predict(prev_lo, cur_lo, self.t_cfg.esim_gain)
+        else:
+            pred, _ = inference_event(self.eventnet, prev_lo, cur_lo)
         return np.asarray(gt_ev_lo), np.asarray(pred)
 
     def step(self, idx: int):

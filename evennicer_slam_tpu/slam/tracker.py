@@ -109,6 +109,13 @@ class TrackerConfig(NamedTuple):
     bias_ema: float = 0.0
     # global damping on the applied correction
     bias_alpha: float = 1.0
+    # event predictor: "unet" = the reference's 2-head EventNet
+    # (src/event_net.py:67-99); "esim" = extension: the analytic ESIM-style
+    # model gain*(I2_render - I1_gt) split by polarity — net-free, and on
+    # synthetic ESIM ground truth it IS the Bayes-optimal predictor, so it
+    # doubles as the oracle bound for what a perfect net could contribute
+    predictor: str = "unet"
+    esim_gain: float = 20.0
 
     @staticmethod
     def from_cfg(cfg: Dict[str, Any], use_events: bool) -> "TrackerConfig":
@@ -142,7 +149,33 @@ class TrackerConfig(NamedTuple):
             bias_scale_mode=e.get("bias_scale_mode", "constant"),
             bias_ema=float(e.get("bias_ema", 0.0)),
             bias_alpha=float(e.get("bias_alpha", 1.0)),
+            predictor=_check_predictor(e.get("predictor", "unet")),
+            esim_gain=float(e.get("esim_gain", 20.0)),
         )
+
+
+def _check_predictor(value: str) -> str:
+    if value not in ("unet", "esim"):
+        raise ValueError(
+            f"event.predictor must be 'unet' or 'esim'; got {value!r}"
+        )
+    return value
+
+
+def esim_predict(
+    prev_lo: jnp.ndarray, cur_lo: jnp.ndarray, gain: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Analytic ESIM-style event prediction from an intensity pair:
+    counts = gain * (mean(cur) - mean(prev)) split by polarity [-,+]
+    (the construction ESIM ground truth uses). Returns (events [h,w,2],
+    existence mask probs [h,w,2]) matching inference_event's contract."""
+    diff = (jnp.mean(cur_lo, axis=-1) - jnp.mean(prev_lo, axis=-1)) * gain
+    events = jnp.stack(
+        [jnp.clip(-diff, 0.0, 255.0), jnp.clip(diff, 0.0, 255.0)], axis=-1
+    )
+    p = (jnp.abs(diff) > 0.5).astype(jnp.float32)
+    mask = jnp.stack([1.0 - p, p], axis=-1)
+    return events, mask
 
 
 def masked_median(x: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -250,9 +283,13 @@ def _tracking_loss(
             gt_depth=constrain_dp(gt_depth_lo_flat, dp),
         )
         cur_color_lo = cur_color_lo.reshape(lo_h, lo_w, 3)
-        pred_event, mask_pred = inference_event(
-            eventnet, prev_color_lo, cur_color_lo
-        )
+        if cfg.predictor == "esim":
+            ev, mp = esim_predict(prev_color_lo, cur_color_lo, cfg.esim_gain)
+            pred_event, mask_pred = ev, mp[None]
+        else:
+            pred_event, mask_pred = inference_event(
+                eventnet, prev_color_lo, cur_color_lo
+            )
         # event-existence mask cross-entropy — computed and LOGGED but never
         # backpropagated, exactly like the reference ("not used, just for
         # reference", src/Tracker.py:222-224; its CE runs on the already-

@@ -91,6 +91,12 @@ def build_cfg(scene_dir: str, n_frames: int, H: int, W: int,
 VARIANTS = {
     "A_dead_reckoning": (False, "rgbd", {}),
     "C_events_reference": (True, "event", {}),
+    # ORACLE: analytic ESIM predictor instead of the UNet. On the synthetic
+    # bench the GT events ARE gain*(I2-I1) split by polarity, so this is the
+    # Bayes-optimal predictor — the ceiling any trained net could reach.
+    # C vs O separates "net quality" from "loss/feedback geometry" as the
+    # binding constraint on event-tracking ATE.
+    "O_esim_oracle": (True, "event", {"predictor": "esim"}),
     "Cp_rgbd_criterion": (True, "rgbd", {}),
     "D_non_rgbd_only": ("non_rgbd", "rgbd", {}),
     "E_bias_const": ("non_rgbd", "rgbd", {"bias_correction": True}),

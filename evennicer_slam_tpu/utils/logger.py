@@ -111,6 +111,21 @@ class CheckpointLogger:
                 slam.coarse_mapper.keyframes = slam.mapper.keyframes
         slam.idx = idx
         slam.mapping_idx = idx
+        if getattr(slam, "concurrent", False):
+            # concurrent (loose/free) mode: re-commit the restored scene
+            # state to the MAP device group (restore loads uncommitted
+            # default-device arrays, which would drag mapping programs onto
+            # the tracker's devices) and reset the adoption bookkeeping
+            import jax
+
+            slam.grids = jax.device_put(slam.grids, slam.submeshes.map_repl)
+            slam.decoders = jax.device_put(
+                slam.decoders, slam.submeshes.map_repl
+            )
+            slam._track_grids = None  # re-adopted lazily on the next track
+            slam._track_decoders = None
+            slam.adopted_map_idx = idx
+            slam._last_map_dispatch_idx = idx
 
         frame = slam.frame_reader[idx]
         slam.tracker.pre_gt_color = jnp.asarray(frame.color)

@@ -151,6 +151,32 @@ class TestConcurrentPipeline:
         for k in b:
             np.testing.assert_array_equal(a[k], b[k])
 
+    def test_loose_resume(self, tmp_path):
+        """Restore re-commits the scene state to the MAP group and resets
+        the adoption bookkeeping, so a resumed loose run keeps its two
+        device queues (a naive restore would drag mapping onto the
+        tracker's default device and mix committed groups)."""
+        from evennicer_slam_tpu.utils.logger import CheckpointLogger
+
+        cfg = _loose_cfg(tmp_path)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        for idx in range(5):
+            slam.step(idx)
+        path = slam.logger.log(slam, 4)
+
+        slam2 = EvenNICERSLAM(cfg, nice=True)
+        start = CheckpointLogger.restore(slam2, path)
+        assert start == 5
+        map_ids = {d.id for d in slam2.submeshes.map_repl.mesh.devices.ravel()}
+        assert _device_ids(slam2.grids) <= map_ids
+        slam2.run(start_frame=start, mesh=False, checkpoint=False)
+        assert np.isfinite(slam2.estimate_c2w_list[: slam2.n_img]).all()
+        assert slam2.n_concurrent_maps >= 1
+        track_ids = {
+            d.id for d in slam2.submeshes.track_repl.mesh.devices.ravel()
+        }
+        assert _device_ids(slam2._track_grids) <= track_ids
+
     def test_loose_single_group_falls_back_to_strict(self, tmp_path):
         cfg = tiny_cfg(tmp_path, n_frames=4, sync_method="loose")
         slam = EvenNICERSLAM(cfg, nice=True)

@@ -293,6 +293,43 @@ class TestEventBiasCorrection:
         assert np.isfinite(slam.estimate_c2w_list[:4]).all()
 
 
+class TestEsimPredictor:
+    def test_esim_predict_matches_esim_gt_construction(self):
+        """The analytic predictor reproduces the ESIM GT construction
+        exactly: gain*(mean(I2)-mean(I1)) split by polarity [-,+]."""
+        from evennicer_slam_tpu.slam.tracker import esim_predict
+
+        rng = np.random.default_rng(0)
+        a = rng.random((6, 8, 3)).astype(np.float32)
+        b = rng.random((6, 8, 3)).astype(np.float32)
+        ev, mask = esim_predict(jnp.asarray(a), jnp.asarray(b), gain=20.0)
+        diff = (b.mean(-1) - a.mean(-1)) * 20.0
+        np.testing.assert_allclose(
+            np.asarray(ev),
+            np.stack([np.clip(-diff, 0, 255), np.clip(diff, 0, 255)], -1),
+            rtol=1e-5, atol=1e-5,
+        )
+        assert mask.shape == (6, 8, 2)
+        np.testing.assert_allclose(np.asarray(mask).sum(-1), 1.0, atol=1e-6)
+
+    def test_pipeline_runs_net_free(self, tmp_path):
+        """event.predictor: esim runs the full event pipeline WITHOUT any
+        EventNet weights (no load, no random-init warning path)."""
+        cfg = tiny_cfg(tmp_path, events=True, n_frames=4)
+        cfg["event"]["predictor"] = "esim"
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.use_events and slam.eventnet == {}
+        assert slam.tracker.cfg.predictor == "esim"
+        est = slam.run(mesh=False, checkpoint=False)
+        assert np.isfinite(est[: slam.n_img]).all()
+
+    def test_unknown_predictor_raises(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, events=True, n_frames=4)
+        cfg["event"]["predictor"] = "oracle"
+        with pytest.raises(ValueError, match="predictor"):
+            EvenNICERSLAM(cfg, nice=True)
+
+
 class TestEventHandoffWindow:
     def test_out_of_cadence_mapping_reintegrates(self, tmp_path):
         """Every mapping call must see the sum of the last ``every_frame``
