@@ -59,11 +59,16 @@ def _bf16_matmul(a, b):
 
 
 def _bf16_matmul_fwd(a, b):
-    return _bf16_matmul(a, b), (a.astype(jnp.bfloat16), b.astype(jnp.bfloat16))
+    # zero-size sentinels carry the primal dtypes: cotangents must match them
+    # (the operands may already be bf16, e.g. the materialized fourier emb)
+    return _bf16_matmul(a, b), (
+        a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+        jnp.zeros((), a.dtype), jnp.zeros((), b.dtype),
+    )
 
 
 def _bf16_matmul_bwd(res, g):
-    a16, b16 = res
+    a16, b16, za, zb = res
     g16 = g.astype(jnp.bfloat16)
     da = jax.lax.dot_general(
         g16, b16, (((g.ndim - 1,), (1,)), ((), ())),
@@ -73,7 +78,7 @@ def _bf16_matmul_bwd(res, g):
         a16, g16, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    return da, db
+    return da.astype(za.dtype), db.astype(zb.dtype)
 
 
 _bf16_matmul.defvjp(_bf16_matmul_fwd, _bf16_matmul_bwd)
@@ -262,6 +267,14 @@ def _mlp_forward(
         # arguments of O(+-50), where bf16's absolute error is O(0.25) and
         # would randomize the phase
         emb = jnp.sin(p @ params["B"])
+        if mm_dtype is not None:
+            # materialize the bf16 embedding ONCE behind a barrier: without
+            # it XLA re-fuses sin+convert into every consumer GEMM (and its
+            # backward rematerializations), re-reading the f32 [N,93]
+            # pre-sine matmul each time — profiled at 12.8 ms/iter vs 7.0
+            # on the tracking decode (same values: the GEMM casts to
+            # mm_dtype either way)
+            emb = jax.lax.optimization_barrier(emb.astype(mm_dtype))
     elif "nerf_freqs" in params:
         # nerf: [x, sin(x f1), cos(x f1), sin(x f2), ...] (decoder.py:49-66)
         xf = p[..., None, :] * params["nerf_freqs"][:, None]  # [N, F, 3]
@@ -288,7 +301,10 @@ def _mlp_forward(
             else params["out_w"].shape[0]
         )
         if next_in == hidden + emb_dim:
-            h = jnp.concatenate([emb, h], axis=-1)
+            if emb.dtype != h.dtype:
+                h = jnp.concatenate([emb.astype(h.dtype), h], axis=-1)
+            else:
+                h = jnp.concatenate([emb, h], axis=-1)
     out = mm(h, params["out_w"]) + params["out_b"]
     if params["out_w"].shape[1] == 1:
         out = out[..., 0]
@@ -420,11 +436,20 @@ def nice_forward_packed(
         )
     middle_feat = sample_packed_trilinear(grids["middle_packed"], p_nor)
     fc_feat = sample_packed_trilinear(grids["fc_packed"], p_nor)
+    # the injection GEMMs consume bf16 anyway: casting the reduced feats here
+    # (once, behind a barrier) halves the feat traffic every per-block
+    # injection re-reads — measured 54.0 -> 50.0 ms/iter fwd+bwd, identical
+    # values (the f32 corner reduction is rounded once either way)
+    middle_feat = middle_feat.astype(jnp.bfloat16)
+    fc_feat = fc_feat.astype(jnp.bfloat16)
     c = middle_feat.shape[-1]
     fine_feat = jnp.concatenate(
         [fc_feat[:, :c], jax.lax.stop_gradient(middle_feat)], axis=-1
     )
     color_feat = fc_feat[:, c:]
+    middle_feat, fine_feat, color_feat = jax.lax.optimization_barrier(
+        (middle_feat, fine_feat, color_feat)
+    )
     fine_occ = _mlp_forward(decoders["fine"], p, fine_feat, mm_dtype=jnp.bfloat16)
     middle_occ = _mlp_forward(decoders["middle"], p, middle_feat, mm_dtype=jnp.bfloat16)
     raw = _mlp_forward(decoders["color"], p, color_feat, mm_dtype=jnp.bfloat16)
