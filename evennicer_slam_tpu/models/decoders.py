@@ -84,6 +84,31 @@ def _bf16_matmul_bwd(res, g):
 _bf16_matmul.defvjp(_bf16_matmul_fwd, _bf16_matmul_bwd)
 
 
+@jax.custom_vjp
+def _fourier_emb_bf16(p, B):
+    """sin(p @ B) materialized ONCE as bf16 (see the barrier note in
+    _mlp_forward). The custom VJP saves only p and B — 10 MB instead of the
+    [N,93] f32 pre-sine residual XLA would keep (328 MB at tracking shapes)
+    — and recomputes cos(p @ B) fused into the backward: measured
+    49.6 -> 47.3 ms/iter on the tracking decode, value and pose gradient
+    bit-identical."""
+    return jax.lax.optimization_barrier(jnp.sin(p @ B).astype(jnp.bfloat16))
+
+
+def _fourier_emb_bf16_fwd(p, B):
+    return _fourier_emb_bf16(p, B), (p, B)
+
+
+def _fourier_emb_bf16_bwd(res, g):
+    p, B = res
+    x = p @ B
+    gc = g.astype(jnp.float32) * jnp.cos(x)
+    return gc @ B.T, p.T @ gc
+
+
+_fourier_emb_bf16.defvjp(_fourier_emb_bf16_fwd, _fourier_emb_bf16_bwd)
+
+
 # ---------------------------------------------------------------------------
 # initialization (matches torch defaults used by the reference)
 # ---------------------------------------------------------------------------
@@ -266,15 +291,17 @@ def _mlp_forward(
         # fourier: the embedding matmul stays f32: sin() is evaluated at
         # arguments of O(+-50), where bf16's absolute error is O(0.25) and
         # would randomize the phase
-        emb = jnp.sin(p @ params["B"])
         if mm_dtype is not None:
             # materialize the bf16 embedding ONCE behind a barrier: without
             # it XLA re-fuses sin+convert into every consumer GEMM (and its
             # backward rematerializations), re-reading the f32 [N,93]
             # pre-sine matmul each time — profiled at 12.8 ms/iter vs 7.0
             # on the tracking decode (same values: the GEMM casts to
-            # mm_dtype either way)
-            emb = jax.lax.optimization_barrier(emb.astype(mm_dtype))
+            # mm_dtype either way). The custom VJP additionally recomputes
+            # cos in the backward instead of saving the f32 pre-sine array.
+            emb = _fourier_emb_bf16(p, params["B"])
+        else:
+            emb = jnp.sin(p @ params["B"])
     elif "nerf_freqs" in params:
         # nerf: [x, sin(x f1), cos(x f1), sin(x f2), ...] (decoder.py:49-66)
         xf = p[..., None, :] * params["nerf_freqs"][:, None]  # [N, F, 3]
