@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from evennicer_slam_tpu.models.decoders import (
     init_nice_decoders,
+    nice_forward,
     nice_forward_packed,
     pack_grids_for_tracking,
 )
@@ -85,3 +86,61 @@ def test_pose_gradient_parity(scene):
         np.linalg.norm(g_out) * np.linalg.norm(g_ref)
     )
     assert cos > 0.9999, f"gradient direction cosine {cos:.6f}"
+
+
+class TestPackedVsReference:
+    """The tracking decode's PRECISION CONTRACT: nice_forward_packed — packed
+    bf16 corner rows, bf16-accum matmuls, the materialized bf16 fourier
+    embedding and its recompute-cos custom VJP — must stay within a bounded
+    aggregate distance of the plain f32 color-stage nice_forward it
+    re-implements (the semantic reference, per src/conv_onet/models/
+    decoder.py:312-342). Catches precision regressions from future fast-path
+    work (every round-3 decode optimization was required to be value- or
+    bit-identical to its predecessor; this pins the whole chain to f32)."""
+
+    @pytest.fixture(scope="class")
+    def dense_scene(self, scene):
+        decoders, packed, p, bound = scene
+        # rebuild the compact f32 grids the packed snapshot was derived from
+        grids = init_grids(jax.random.PRNGKey(0),
+                           np.asarray(bound), {"coarse": 0.5, "middle": 0.25,
+                                               "fine": 0.125, "color": 0.125,
+                                               "bound_divisible": 0.25},
+                           c_dim=32, coarse=False)
+        grids = {k: v + 0.3 * jax.random.normal(jax.random.PRNGKey(7), v.shape)
+                 for k, v in grids.items()}
+        return decoders, grids, packed, p, bound
+
+    def test_forward_close_to_f32(self, dense_scene):
+        decoders, grids, packed, p, bound = dense_scene
+        ref = np.asarray(nice_forward(decoders, grids, p, bound, "color"))
+        out = np.asarray(nice_forward_packed(decoders, packed, p, bound))
+        assert out.shape == ref.shape
+        # aggregate: bf16 grid rows round at ~0.4% rel; the MLP chain keeps
+        # f32 accumulation, so the output stays within ~1% in norm
+        rel = np.linalg.norm(out - ref) / np.linalg.norm(ref)
+        assert rel < 0.01, f"packed-vs-f32 forward rel error {rel:.4f}"
+
+    def test_pose_gradient_close_to_f32(self, dense_scene):
+        decoders, grids, packed, p, bound = dense_scene
+        w = jnp.array([1.0, -0.5, 0.25, 2.0])
+
+        g_ref = np.asarray(jax.grad(
+            lambda q: jnp.sum(nice_forward(decoders, grids, q, bound, "color") * w)
+        )(p))
+        g_out = np.asarray(jax.grad(
+            lambda q: jnp.sum(nice_forward_packed(decoders, packed, q, bound) * w)
+        )(p))
+        assert np.abs(g_ref).max() > 1e-3
+        # measured characterization of the bf16 backward chain (6 bf16-accum
+        # GEMMs + bf16 corner rows + bf16 embedding cotangents): aggregate
+        # rel error 0.075, aggregate direction cosine 0.9972, per-point
+        # cosine mean 0.996 / p5 0.98. The bounds catch structural
+        # regressions (missing terms, sign flips, dtype blowups), not the
+        # inherent — and tracking-tolerated — bf16 noise.
+        rel = np.linalg.norm(g_out - g_ref) / np.linalg.norm(g_ref)
+        assert rel < 0.15, f"packed-vs-f32 gradient rel error {rel:.4f}"
+        cos = np.sum(g_out * g_ref) / (
+            np.linalg.norm(g_out) * np.linalg.norm(g_ref)
+        )
+        assert cos > 0.99, f"gradient direction cosine {cos:.6f}"
