@@ -140,6 +140,11 @@ class PrefetchingReader:
             # reads (training tools, resume, eval) must not pay a ~6-8 MB
             # device_put over the slow link
             entry = (frame, _upload(frame) if need_device else None)
+            if idx in self._pinned:
+                # write the upgraded entry back: a pinned frame preloaded
+                # host-only must not re-pay the device upload on every read
+                with self._lock:
+                    self._cache[idx] = entry
         # decode-ahead helps ALL sequential consumers (training tools, eval,
         # resume); the device upload piggybacks only when this caller wanted
         # device arrays too. Only FORWARD-sequential access spawns it: a

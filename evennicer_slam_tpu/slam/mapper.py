@@ -85,6 +85,9 @@ class MapperConfig(NamedTuple):
     save_selected_keyframes_info: bool = False
     use_events: bool = False
     event_scale_factor: float = 0.15
+    event_predictor: str = "unet"
+    esim_gain: float = 20.0
+    keyframe_catchup: bool = False
     imap_decoders_lr: float = 0.0002
     stage_lrs: Tuple[Tuple[str, Tuple[float, float, float, float, float]], ...] = ()
 
@@ -104,6 +107,25 @@ class MapperConfig(NamedTuple):
             )
             for s in ("coarse", "middle", "fine", "color")
         ) if "stage" in m else ()
+        concurrent = (
+            cfg.get("sync_method", "strict") in ("loose", "free")
+            and int(cfg.get("parallel", {}).get("map_devices", 0) or 0) > 0
+        )
+        if concurrent and not m.get("keyframe_catchup", False):
+            import warnings
+
+            warnings.warn(
+                "concurrent loose/free mapping maps whatever frame tracking"
+                " is on when the previous call completes, so mapped indices"
+                " are timing-dependent and `idx % keyframe_every == 0` may"
+                " NEVER fire — the keyframe registry starves and meshing"
+                " discards unanchored regions. (The reference has the same"
+                " exposure in its loose mode, src/Mapper.py:752-754 +"
+                " :830-835.) Set mapping.keyframe_catchup: true to add a"
+                " keyframe whenever a full keyframe_every window passes"
+                " without one.",
+                stacklevel=2,
+            )
         if m["keyframe_every"] % m["every_frame"] != 0:
             import math
             import warnings
@@ -142,6 +164,9 @@ class MapperConfig(NamedTuple):
             save_selected_keyframes_info=m.get("save_selected_keyframes_info", False),
             use_events=use_events,
             event_scale_factor=cfg.get("event", {}).get("scale_factor", 0.15),
+            event_predictor=cfg.get("event", {}).get("predictor", "unet"),
+            esim_gain=float(cfg.get("event", {}).get("esim_gain", 20.0)),
+            keyframe_catchup=m.get("keyframe_catchup", False),
             imap_decoders_lr=m.get("imap_decoders_lr", 0.0002),
             stage_lrs=stage_lrs,
         )
@@ -483,7 +508,14 @@ def _mapper_event_loss(
         gt_depth=constrain_dp(gt_depth_lo_flat, dp),
     )
     cur_lo = cur_lo.reshape(lo_h, lo_w, 3)
-    pred, _ = inference_event(eventnet, prev_color_lo, cur_lo)
+    if cfg.event_predictor == "esim":
+        # net-free analytic predictor (event.predictor: esim) — same branch
+        # the tracker takes; eventnet is an empty dict in this mode
+        from evennicer_slam_tpu.slam.tracker import esim_predict
+
+        pred, _ = esim_predict(prev_color_lo, cur_lo, cfg.esim_gain)
+    else:
+        pred, _ = inference_event(eventnet, prev_color_lo, cur_lo)
     loss = jnp.sum((gt_event_lo - pred) ** 2)
     loss = loss + jnp.sum(
         (gaussian_blur(gt_event_lo, 3) - gaussian_blur(pred, 3)) ** 2
@@ -930,10 +962,15 @@ class Mapper:
         device_images=None,
     ):
         """Append every keyframe_every frames or at the second-to-last frame
-        (reference src/Mapper.py:830-835)."""
-        if (
-            idx % self.cfg.keyframe_every == 0 or idx == n_img - 2
-        ) and idx not in self.keyframes.indices:
+        (reference src/Mapper.py:830-835). With ``mapping.keyframe_catchup``
+        (extension, default off = reference behavior) a keyframe is also
+        added whenever a full keyframe_every window has passed without one —
+        the rescue for concurrent loose/free mapping, where mapped indices
+        are timing-dependent and may never hit the % grid."""
+        due = idx % self.cfg.keyframe_every == 0 or idx == n_img - 2
+        if not due and self.cfg.keyframe_catchup and self.keyframes.indices:
+            due = idx - max(self.keyframes.indices) >= self.cfg.keyframe_every
+        if due and idx not in self.keyframes.indices:
             self.keyframes.append(idx, gt_color, gt_depth, gt_event, cur_c2w,
                                   gt_c2w, device_images=device_images)
 

@@ -460,11 +460,16 @@ class EvenNICERSLAM:
         )
         if gap < min_gap:
             return False
+        self._dispatch_concurrent_map(idx, frame, images_dev)
+        return True
+
+    def _dispatch_concurrent_map(self, idx: int, frame, images_dev=None):
+        """Dispatch one concurrent mapping call + its bookkeeping (pending
+        probe, last-dispatch index, counter)."""
         self._map_frame(idx, frame, init=False, images_dev=images_dev)
         self._pending_map = {"idx": idx, "probe": self._map_probe()}
         self._last_map_dispatch_idx = idx
         self.n_concurrent_maps += 1
-        return True
 
     def _loose_wait(self, idx: int):
         """Reference tracker-side bound (src/Tracker.py:288-292): block while
@@ -477,11 +482,7 @@ class EvenNICERSLAM:
             # mapper idle but stale (only reachable after resume): map the
             # newest tracked frame so the bound can be satisfied
             if self._last_map_dispatch_idx < idx - 1 and idx >= 1:
-                f_prev = self.frame_reader[idx - 1]
-                self._map_frame(idx - 1, f_prev, init=False)
-                self._pending_map = {"idx": idx - 1, "probe": self._map_probe()}
-                self._last_map_dispatch_idx = idx - 1
-                self.n_concurrent_maps += 1
+                self._dispatch_concurrent_map(idx - 1, self.frame_reader[idx - 1])
             else:
                 break
 
@@ -615,10 +616,7 @@ class EvenNICERSLAM:
             # max_inflight_maps calls back costs one link round trip on an
             # (in steady state) already-finished result, so the device queue
             # never empties while the host is held back.
-            # grids in nice mode; imap has no grids, so fall back to the
-            # decoder params (also produced by every mapping call)
-            leaves = jax.tree.leaves(self.grids) or jax.tree.leaves(self.decoders)
-            self._inflight_maps.append(leaves[0].reshape(-1)[:1])
+            self._inflight_maps.append(self._map_probe())
             while len(self._inflight_maps) > self._max_inflight_maps:
                 np.asarray(jax.device_get(self._inflight_maps.popleft()))
 

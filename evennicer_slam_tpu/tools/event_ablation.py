@@ -126,8 +126,11 @@ def summarize(per_seed, seeds, frames):
         }
         for name, v in per_seed.items()
     }
+    # deployable event modes only: the O_* oracle is a BOUND (Bayes-optimal
+    # on synthetic ESIM GT by construction), not a mode a real run can ship
+    # — it must not set best_event_mode or the beats-dead-reckoning flags
     ev_means = {n: s["mean"] for n, s in summary.items()
-                if not n.startswith("A_")}
+                if not n.startswith(("A_", "O_"))}
     best = min(ev_means, key=ev_means.get) if ev_means else None
     out = {
         "summary": summary,
@@ -135,6 +138,9 @@ def summarize(per_seed, seeds, frames):
         "frames": frames,
         "best_event_mode": best,
     }
+    oracle = [n for n in summary if n.startswith("O_")]
+    if oracle:
+        out["oracle_bound_mean"] = {n: summary[n]["mean"] for n in oracle}
     if "A_dead_reckoning" in summary:
         dr = summary["A_dead_reckoning"]["mean"]
         if "C_events_reference" in summary:
@@ -221,8 +227,17 @@ def main():
                      keyframe_every=args.keyframe_every,
                      traj_step=args.traj_step)
 
+    names = args.variants or list(VARIANTS)
+    # A_* (dead reckoning) never runs the net; O_* uses the analytic esim
+    # predictor — training minutes of map-domain EventNet for those alone
+    # would be pure waste
+    needs_net = any(not n.startswith(("A_", "O_")) for n in names)
+
     # --- net: load or train once (on the first seed's scene) -------------
-    if args.net:
+    net_md = None
+    if not needs_net:
+        pass
+    elif args.net:
         from evennicer_slam_tpu.models.eventnet_train import load_eventnet_npz
 
         net_md = load_eventnet_npz(args.net)
@@ -267,7 +282,6 @@ def main():
             save_eventnet_npz(net_md, args.out)
 
     # --- variant grid x seeds -------------------------------------------
-    names = args.variants or list(VARIANTS)
     per_seed = {name: [] for name in names}
     for seed in seeds:
         cfg = (cfg0 if seed == seeds[0] else build_cfg(
@@ -277,7 +291,7 @@ def main():
         ))
         for name in names:
             activate, criterion, extra = VARIANTS[name]
-            net = None if name.startswith("A_") else net_md
+            net = None if name.startswith(("A_", "O_")) else net_md
             ate = run_variant(cfg, net, args.frames, activate, criterion,
                               extra)
             per_seed[name].append(ate)

@@ -39,6 +39,19 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache for the suite (same mechanism the production
+# setup_jax uses, separate dir so test-shaped executables don't mix with the
+# chip's). Two effects: reruns skip LLVM entirely for unchanged executables,
+# and — because compiles are the segfault surface (see below) — a warm cache
+# removes most LLVM invocations from the process.
+_test_cache = os.environ.get(
+    "ENSLAM_TEST_JAX_CACHE", os.path.expanduser("~/.jax_cache_tests")
+)
+os.makedirs(_test_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _test_cache)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np  # noqa: E402
@@ -50,6 +63,23 @@ def _bound_jit_cache_growth():
     """Clear compiled-executable caches after each test module (see above)."""
     yield
     jax.clear_caches()
+
+
+_TESTS_SINCE_CLEAR = [0]
+
+
+@pytest.fixture(autouse=True)
+def _bound_jit_cache_growth_within_module():
+    """The per-module clear was not enough: test_slam.py alone compiles
+    enough pipeline executables to crash LLVM late in the module (observed
+    segfault in backend_compile_and_load at test 27/27). Clear every 8 tests
+    too — with the persistent disk cache above, a clear costs a cache reload,
+    not a recompile."""
+    yield
+    _TESTS_SINCE_CLEAR[0] += 1
+    if _TESTS_SINCE_CLEAR[0] >= 8:
+        _TESTS_SINCE_CLEAR[0] = 0
+        jax.clear_caches()
 
 
 @pytest.fixture

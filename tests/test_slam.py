@@ -215,6 +215,75 @@ class TestMapperEventSupervision:
         assert np.isfinite(slam.estimate_c2w_list[:3]).all()
         assert np.isfinite(np.asarray(slam.grids["middle"])).all()
 
+    def test_mapper_event_path_with_esim_predictor(self, tmp_path):
+        """event.predictor: esim leaves eventnet == {} (no weights loaded);
+        the mapper's event supervision must take the analytic-predictor
+        branch instead of calling the UNet on empty params (regression:
+        KeyError('inc') at the first steady-state mapping call)."""
+        cfg = tiny_cfg(tmp_path, events=True)
+        cfg["mapping"]["use_events"] = True
+        cfg["event"]["predictor"] = "esim"
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.mapper.cfg.use_events
+        assert slam.mapper.cfg.event_predictor == "esim"
+        assert slam.eventnet == {}
+        slam.run(end_frame=3, mesh=False, checkpoint=False)
+        assert np.isfinite(slam.estimate_c2w_list[:3]).all()
+        assert np.isfinite(np.asarray(slam.grids["middle"])).all()
+
+
+class TestKeyframeCatchup:
+    def test_off_grid_mapping_starves_registry_by_default(self, tmp_path):
+        """Reference behavior (src/Mapper.py:830-835): keyframes only at
+        idx % keyframe_every == 0 — an off-grid mapped index adds nothing."""
+        cfg = tiny_cfg(tmp_path, n_frames=12)
+        cfg["mapping"]["keyframe_every"] = 4
+        slam = EvenNICERSLAM(cfg, nice=True)
+        slam.step(0)
+        f = slam.frame_reader[7]
+        m = slam.mapper
+        n0 = len(m.keyframes)
+        m.maybe_add_keyframe(7, slam.n_img, f.color, f.depth, f.event,
+                             np.asarray(slam.gt_c2w_list[0]),
+                             np.asarray(slam.gt_c2w_list[0]))
+        assert len(m.keyframes) == n0  # 7 % 4 != 0 and 7 != n-2
+
+    def test_catchup_adds_when_window_passes_without_keyframe(self, tmp_path):
+        cfg = tiny_cfg(tmp_path, n_frames=12)
+        cfg["mapping"]["keyframe_every"] = 4
+        cfg["mapping"]["keyframe_catchup"] = True
+        slam = EvenNICERSLAM(cfg, nice=True)
+        slam.step(0)  # keyframe 0 registered by the first mapping call
+        assert 0 in slam.mapper.keyframes.indices
+        f = slam.frame_reader[7]
+        m = slam.mapper
+        n0 = len(m.keyframes)
+        m.maybe_add_keyframe(7, slam.n_img, f.color, f.depth, f.event,
+                             np.asarray(slam.gt_c2w_list[0]),
+                             np.asarray(slam.gt_c2w_list[0]))
+        assert len(m.keyframes) == n0 + 1  # 7 - 0 >= keyframe_every
+        # but not again right away: 9 is off-grid and 9 - 7 < keyframe_every
+        f9 = slam.frame_reader[9]
+        m.maybe_add_keyframe(9, slam.n_img, f9.color, f9.depth, f9.event,
+                             np.asarray(slam.gt_c2w_list[0]),
+                             np.asarray(slam.gt_c2w_list[0]))
+        assert len(m.keyframes) == n0 + 1
+
+    def test_concurrent_without_catchup_warns(self, tmp_path):
+        import warnings as _warnings
+
+        from evennicer_slam_tpu.slam.mapper import MapperConfig
+
+        cfg = tiny_cfg(tmp_path)
+        cfg["sync_method"] = "loose"
+        cfg["parallel"] = dict(cfg.get("parallel") or {}, map_devices=2)
+        with pytest.warns(UserWarning, match="keyframe_catchup"):
+            MapperConfig.from_cfg(cfg)
+        cfg["mapping"]["keyframe_catchup"] = True
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("error")
+            MapperConfig.from_cfg(cfg)
+
 
 class TestFusedCoarseMapping:
     def test_fused_equals_separate_on_fine_params(self, tmp_path):
