@@ -138,14 +138,27 @@ def main():
     fps = float(np.median(block_rates))
     spread = float((np.max(block_rates) - np.min(block_rates)) / fps)
 
-    print(json.dumps({
+    out = {
         "metric": "combined_tracked_mapped_fps_replica_room0_shape",
         "value": round(fps, 3),
         "unit": "frames/s",
         "vs_baseline": round(fps / 10.0, 3),
         "block_rates": [round(r, 3) for r in block_rates],
         "block_spread_frac": round(spread, 3),
-    }))
+        # the BASELINE.md target (>= 10 fps) is specified at TPU v5e-8; this
+        # machine exposes ONE chip, so value/vs_baseline are dp=1 numbers
+        "note": "target hw is v5e-8; bench machine exposes 1 chip (dp=1)",
+    }
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "benchmarks", "dp_projection.json")) as f:
+            proj = json.load(f)
+        dp8 = [p for p in proj.get("projections", []) if p.get("dp") == 8]
+        if dp8:
+            out["projected_v5e8_fps"] = dp8[0]["fps"]
+    except (OSError, ValueError, KeyError):
+        pass
+    print(json.dumps(out))
     sys.stdout.flush()
     # the remote-platform client can abort() in C++ teardown after a long
     # run ("terminate called without an active exception"), which would turn
