@@ -363,14 +363,58 @@ def map_frame_jit(
     last_event_loss)."""
     params = (grids, decoders, cam_tensors)
     if init_adam:
-        adam = adam_init(params)
+        adam = adam_init(params, per_leaf_t=True)
         if use_events:
-            adam_ev = adam_init(params)
+            adam_ev = adam_init(params, per_leaf_t=True)
     # identical to a host-side PRNGKey(seed) for seeds < 2^32 (threefry key
     # = [0, seed]); derived in-program to avoid 2 eager dispatches per call
     base_key = jax.random.PRNGKey(seed_scalar)
 
     cfg_now = cfg._replace(fix_color=cfg.fix_color or fix_color_now)
+
+    def active_trees(stage: str, event_update: bool):
+        """torch's lazy per-parameter Adam as a static bool pytree: a leaf is
+        active iff the corresponding torch parameter exists in the optimizer
+        (reference src/Mapper.py:363-423 param groups) AND receives a grad at
+        this stage (``Adam.step()`` skips grad-None params). Inactive leaves
+        keep their p/m/v/step untouched — matching torch exactly and skipping
+        the dead moment traffic (e.g. the fine/color grids during the middle
+        stage)."""
+        if event_update:
+            # optimizer_event param list: decoders + coarse/middle/fine grids
+            # (color grid excluded, src/Mapper.py:404-410); its loss is a
+            # color-stage render, so the coarse grid never gets a grad
+            grid_on = {"coarse": False, "middle": True, "fine": True,
+                       "color": False}
+        else:
+            grid_on = {
+                # fused mode: the coarse-mapper loss rides every iteration
+                "coarse": stage == "coarse" or fuse_coarse,
+                "middle": stage in ("middle", "fine", "color"),
+                "fine": stage in ("fine", "color"),
+                "color": stage == "color",
+            }
+        g_act = None if grids is None else {
+            lvl: jax.tree.map(lambda _: grid_on.get(lvl, False), grids[lvl])
+            for lvl in grids
+        }
+
+        def dec_on(name: str) -> bool:
+            if not settings.nice:
+                return True  # imap: the whole MLP is the param list
+            if name == "fine":
+                on = event_update or stage in ("fine", "color")
+                return (not cfg.fix_fine) and on
+            if name == "color":
+                on = event_update or stage == "color"
+                return (not cfg_now.fix_color) and on
+            return False  # middle/coarse decoders are never optimized
+
+        d_act = {
+            name: jax.tree.map(lambda _, n=name: dec_on(n), decoders[name])
+            for name in decoders
+        }
+        return (g_act, d_act, ba)
 
     def make_stage_body(stage: str):
         lrs_host = (
@@ -435,6 +479,9 @@ def map_frame_jit(
             )
             ev_grad_fn = jax.value_and_grad(ev_fn)
 
+        act_main = active_trees(stage, event_update=False)
+        act_ev = active_trees(stage, event_update=True) if use_events else None
+
         def body(i, carry):
             params, adam, adam_ev, _, _ = carry
             it = i + seg_starts[stage]
@@ -445,7 +492,8 @@ def map_frame_jit(
                                           fused=fuse_coarse),
                          grads[1], grads[2])
             lrs = lr_tree_for(params, event_update=False, it=it)
-            new_params, adam = adam_update(grads, adam, params, lrs)
+            new_params, adam = adam_update(grads, adam, params, lrs,
+                                           active=act_main)
             ev_loss = jnp.zeros(())
             if use_events:
                 ev_loss, ev_grads = ev_grad_fn(new_params)
@@ -455,7 +503,9 @@ def map_frame_jit(
                         ev_grads[1], ev_grads[2],
                     )
                 ev_lrs = lr_tree_for(new_params, event_update=True)
-                new_params, adam_ev = adam_update(ev_grads, adam_ev, new_params, ev_lrs)
+                new_params, adam_ev = adam_update(ev_grads, adam_ev,
+                                                  new_params, ev_lrs,
+                                                  active=act_ev)
             return (new_params, adam, adam_ev, loss, ev_loss)
 
         return body
