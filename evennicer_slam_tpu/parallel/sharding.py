@@ -13,10 +13,13 @@ collective schedule. tests/test_pipeline_sharding.py pins both the numerics
 hot loops).
 
 Grid-channel tensor parallelism is deliberately NOT a production feature: at
-the reference workloads the grids are ~50 MB, so replicating them per chip is
-free and the compute lives in the rays. The worked TP recipe for the
-far-larger-scene regime lives in ``parallel/tp_example.py`` (example status,
-documented there).
+the reference workloads the grids are small enough that replicating them per
+chip is free and the compute lives in the rays. Measured sizes (c_dim 32,
+f32, reference grid_len): ~50 MB at the real Replica room0 bound
+(configs/Replica/room0.yaml — the number tools/project_dp.py calibrates its
+mapping all-reduce estimate with) and ~2.5 MB at the smaller synthetic
+bench-scene bound. The worked TP recipe for the far-larger-scene regime
+lives in ``parallel/tp_example.py`` (example status, documented there).
 """
 
 from __future__ import annotations

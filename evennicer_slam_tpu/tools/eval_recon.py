@@ -7,8 +7,8 @@ Rebuild of reference src/tools/eval_recon.py:24-231 without open3d/trimesh:
   points on each, then KD-tree nearest distances give accuracy (cm),
   completion (cm), and completion ratio (% < 5 cm).
 - 2D: depth-L1 (cm) over random interior views; mesh depth maps are rendered
-  by z-buffer splatting of dense surface samples (replacing the reference's
-  open3d offscreen renderer).
+  with a real triangle z-buffer rasterizer (mesh/raster.py, replacing the
+  reference's open3d offscreen renderer).
 
 Usage:
     python -m evennicer_slam_tpu.tools.eval_recon --rec_mesh a.ply --gt_mesh b.ply [-3d] [-2d]

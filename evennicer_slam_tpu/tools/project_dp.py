@@ -149,6 +149,13 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="ENSLAM_PALLAS=1: Pallas fused decode instead of "
                          "the packed XLA path")
+    ap.add_argument("--bound", choices=["room0", "bench"], default="room0",
+                    help="scene bound: 'room0' (default) uses the REAL "
+                         "Replica room0 bound (configs/Replica/room0.yaml) "
+                         "so grid sizes — and the mapping all-reduce "
+                         "estimate they drive — match the real workload "
+                         "(~50 MB of grids); 'bench' is the smaller "
+                         "bench.py scene (~2.5 MB)")
     args = ap.parse_args()
     if args.pallas:
         os.environ["ENSLAM_PALLAS"] = "1"
@@ -160,11 +167,25 @@ def main():
 
     from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
 
-    scene_dir = os.environ.get("ENSLAM_BENCH_SCENE", "/tmp/enslam_bench_scene")
+    if args.bound == "room0":
+        # real Replica room0 scene bound (reference configs/Replica/
+        # room0.yaml:3) -> grid shapes/bytes match the real workload
+        scene_bound = np.array(
+            [[-2.9, 8.9], [-3.2, 5.5], [-3.5, 3.3]], np.float32
+        )
+        scene_dir = os.environ.get(
+            "ENSLAM_ROOM0_SCENE", "/tmp/enslam_room0_scene"
+        )
+    else:
+        scene_bound = np.array(
+            [[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32
+        )
+        scene_dir = os.environ.get(
+            "ENSLAM_BENCH_SCENE", "/tmp/enslam_bench_scene"
+        )
     frag = make_synthetic_replica(
         scene_dir, n_frames=98, H=680, W=1200, fx=600.0, fy=600.0,
-        bound=np.array([[-2.0, 2.0], [-1.6, 1.6], [-1.2, 1.2]], np.float32),
-        traj_step=0.01, reuse_if_current=True,
+        bound=scene_bound, traj_step=0.01, reuse_if_current=True,
     )
 
     splits = []
@@ -203,6 +224,7 @@ def main():
     track_iters = slam.t_cfg.iters
 
     out = {"metric": "dp_projection_replica_room0_shape",
+           "scene_bound": args.bound,
            "measured_per_device": rows, "unet_ms_full_image": round(unet_full, 2),
            "assumptions": {
                "ici_bw_bytes_per_s": ICI_BW_BYTES,
