@@ -25,6 +25,11 @@ class KeyframeStore:
     def __init__(self):
         self.frames: List[Dict] = []
         self._device_cache: Dict[int, tuple] = {}
+        # device stacks for the grown-registry async fast path
+        self._img_stack = None
+        self._img_stack_len = 0
+        self._poses_dev = None
+        self.host_poses_stale = False
 
     def __len__(self):
         return len(self.frames)
@@ -51,7 +56,13 @@ class KeyframeStore:
             self._device_cache[len(self.frames) - 1] = tuple(device_images)
 
     def set_pose(self, kf_index: int, est_c2w: np.ndarray):
+        # host-side (non-fast-path) BA write-back. Mixing it with pending
+        # device-side updates would silently resurrect stale host rows.
+        assert not self.host_poses_stale, (
+            "sync_host_poses() before host-side pose writes"
+        )
         self.frames[kf_index]["est_c2w"] = np.asarray(est_c2w).copy()
+        self._poses_dev = None  # rebuild from (fresh) host rows on next use
 
     def device_images(self, kf_index: int):
         """(color, depth) as device arrays, uploaded once per keyframe."""
@@ -63,6 +74,61 @@ class KeyframeStore:
                 jnp.asarray(f["color"]), jnp.asarray(f["depth"])
             )
         return self._device_cache[kf_index]
+
+    def device_stack(self):
+        """(colors [N,H,W,3], depths [N,H,W], poses [N,4,4]) device stacks
+        for the grown-registry async fast path (device-side window selection
+        + assembly + BA write-back; no host pose fetch per mapping call).
+
+        Image stacks are rebuilt on append (stacking the already-cached
+        per-frame device arrays — a device-side concat, no re-upload). The
+        POSE stack is the source of truth while device-side BA is active:
+        rows updated on device are carried over on append, and host
+        ``est_c2w`` copies are refreshed lazily by :meth:`sync_host_poses`.
+        """
+        import jax.numpy as jnp
+
+        n = len(self.frames)
+        if self._img_stack is None or self._img_stack_len != n:
+            cols, deps = zip(*(self.device_images(i) for i in range(n)))
+            self._img_stack = (jnp.stack(cols), jnp.stack(deps))
+            self._img_stack_len = n
+        if self._poses_dev is None or int(self._poses_dev.shape[0]) != n:
+            host = np.stack(
+                [f["est_c2w"] for f in self.frames]
+            ).astype(np.float32)
+            if (
+                self._poses_dev is not None
+                and int(self._poses_dev.shape[0]) < n
+            ):
+                # append: keep device truth for existing rows (host copies
+                # may be stale), upload only the new rows
+                old_n = int(self._poses_dev.shape[0])
+                self._poses_dev = jnp.concatenate(
+                    [self._poses_dev, jnp.asarray(host[old_n:])], axis=0
+                )
+            else:
+                self._poses_dev = jnp.asarray(host)
+        return self._img_stack[0], self._img_stack[1], self._poses_dev
+
+    def set_poses_device(self, poses_dev):
+        """Replace the device pose stack (device-side BA write-back); host
+        ``est_c2w`` rows become stale until :meth:`sync_host_poses`."""
+        self._poses_dev = poses_dev
+        self.host_poses_stale = True
+
+    def sync_host_poses(self):
+        """Refresh host ``est_c2w`` rows from the device pose stack (one
+        batched fetch). Call before any host consumer of keyframe poses
+        (meshing, checkpointing, host-side selection/assembly)."""
+        if not self.host_poses_stale:
+            return
+        mats = np.asarray(self._poses_dev)
+        # frames appended AFTER the last device write-back are not in the
+        # stack yet — their host est_c2w is already the truth
+        for i in range(min(len(self.frames), mats.shape[0])):
+            self.frames[i]["est_c2w"] = mats[i].copy()
+        self.host_poses_stale = False
 
 
 def _project(points: np.ndarray, w2c: np.ndarray, cam: Camera):
@@ -314,3 +380,138 @@ def frustum_feature_mask(
 
     # flatten order was (x, y, z); grid storage is [Z, Y, X]
     return mask.reshape(X, Y, Z).transpose(2, 1, 0)
+
+
+# ---------------------------------------------------------------------------
+# device-side window selection / assembly / BA write-back
+# (grown-registry async fast path)
+# ---------------------------------------------------------------------------
+
+_SELECT_ASSEMBLE_JIT = None
+_SCATTER_POSES_JIT = None
+
+
+def _select_assemble_trace(key, kf_colors, kf_depths, kf_poses, cur_color,
+                           cur_depth, cur_c2w, k_sel, cam: Camera):
+    """Overlap scoring + random-among-nonzero selection + window assembly as
+    ONE device program — the reference scorer's exact math
+    (src/Mapper.py:188-250 / keyframe_selection_overlap above) without the
+    per-mapping-call host pose fetch that empties the device queue.
+
+    Window layout: [selected (k_sel)..., last keyframe, current frame];
+    K = k_sel + 2. Returns (colors [K,...], depths [K,...],
+    fixed_c2w [K,4,4], cams [K,7], window_idx [K-1] store indices,
+    opt_mask [K] — 0 at the oldest keyframe, the reference's BA gauge anchor,
+    src/Mapper.py:296-300).
+
+    One fixed-shape deviation: the reference selects only among
+    NONZERO-overlap candidates and shrinks the window when fewer than k
+    qualify; here the window stays K-wide and zero-overlap candidates fill
+    the remainder (uniformly at random) in that rare case.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from evennicer_slam_tpu.core.quaternion import tensor_from_pose_matrix
+
+    N = kf_poses.shape[0]
+    H, W = cam.H, cam.W
+    k_pix, k_pri = jax.random.split(key)
+
+    # current-frame depth-guided sample points (reference: 100 px x 16)
+    idx = jax.random.randint(k_pix, (100,), 0, H * W)
+    jj = idx // W
+    ii = idx % W
+    d = cur_depth[jj, ii]
+    jf = jj.astype(jnp.float32)
+    if_ = ii.astype(jnp.float32)
+    dirs = jnp.stack(
+        [(if_ - cam.cx) / cam.fx, -(jf - cam.cy) / cam.fy,
+         -jnp.ones_like(if_)], axis=-1,
+    )
+    rays_d = dirs @ cur_c2w[:3, :3].T
+    rays_o = cur_c2w[:3, 3]
+    t = jnp.linspace(0.0, 1.0, 16)
+    z = (d * 0.8)[:, None] * (1.0 - t) + (d + 0.5)[:, None] * t
+    verts = (rays_o + rays_d[:, None, :] * z[..., None]).reshape(-1, 3)
+
+    # project into every candidate keyframe (all but the always-included
+    # last); x-negation camera convention as in _project above
+    w2c = jnp.linalg.inv(kf_poses.astype(jnp.float32))
+    camc = (
+        jnp.einsum("nij,pj->npi", w2c[:, :3, :3], verts)
+        + w2c[:, :3, 3][:, None, :]
+    )
+    zs = camc[..., 2] + 1e-5
+    u = (cam.fx * (-camc[..., 0]) + cam.cx * zs) / zs
+    v = (cam.fy * camc[..., 1] + cam.cy * zs) / zs
+    edge = 20
+    inside = (
+        (u < W - edge) & (u > edge) & (v < H - edge) & (v > edge) & (zs < 0)
+    )
+    score = jnp.mean(inside.astype(jnp.float32), axis=-1)  # [N]
+
+    # random permutation among nonzero-overlap candidates, take k_sel
+    pri = jax.random.uniform(k_pri, (N - 1,))
+    pri = pri + jnp.where(score[: N - 1] > 0.0, 10.0, 0.0)
+    _, sel = jax.lax.top_k(pri, k_sel)
+    window_idx = jnp.concatenate(
+        [sel.astype(jnp.int32), jnp.array([N - 1], jnp.int32)]
+    )
+    colors = jnp.concatenate([kf_colors[window_idx], cur_color[None]], axis=0)
+    depths = jnp.concatenate([kf_depths[window_idx], cur_depth[None]], axis=0)
+    fixed = jnp.concatenate(
+        [kf_poses[window_idx], cur_c2w[None]], axis=0
+    ).astype(jnp.float32)
+    cams = jax.vmap(lambda m: tensor_from_pose_matrix(m[:3]))(fixed)
+    oldest_pos = jnp.argmin(window_idx)
+    opt_mask = jnp.ones((k_sel + 2,), jnp.float32).at[oldest_pos].set(0.0)
+    return colors, depths, fixed, cams, window_idx, opt_mask
+
+
+def select_assemble_window_dev(key, kf_colors, kf_depths, kf_poses,
+                               cur_color, cur_depth, cur_c2w, k_sel: int,
+                               cam: Camera):
+    global _SELECT_ASSEMBLE_JIT
+    import jax
+
+    if _SELECT_ASSEMBLE_JIT is None:
+        _SELECT_ASSEMBLE_JIT = jax.jit(
+            _select_assemble_trace, static_argnames=("k_sel", "cam")
+        )
+    return _SELECT_ASSEMBLE_JIT(
+        key, kf_colors, kf_depths, kf_poses, cur_color, cur_depth, cur_c2w,
+        k_sel=k_sel, cam=cam,
+    )
+
+
+def _scatter_poses_trace(kf_poses, window_idx, new_cams, fixed_c2w, opt_mask):
+    """Device-side BA write-back: optimized window poses -> the registry's
+    device pose stack; the anchored (opt_mask == 0) slot keeps its original
+    pose; returns (new pose stack, new current-frame pose [4,4])."""
+    import jax
+    import jax.numpy as jnp
+
+    from evennicer_slam_tpu.core.quaternion import pose_matrix_from_tensor
+
+    m34 = jax.vmap(pose_matrix_from_tensor)(new_cams)  # [K, 3, 4]
+    bottom = jnp.broadcast_to(
+        jnp.array([0.0, 0.0, 0.0, 1.0], jnp.float32),
+        (m34.shape[0], 1, 4),
+    )
+    m44 = jnp.concatenate([m34, bottom], axis=1)
+    upd = jnp.where(opt_mask[:, None, None] > 0.0, m44, fixed_c2w)
+    kf_poses = kf_poses.at[window_idx].set(upd[:-1])
+    return kf_poses, upd[-1]
+
+
+def scatter_window_poses_dev(kf_poses, window_idx, new_cams, fixed_c2w,
+                             opt_mask):
+    global _SCATTER_POSES_JIT
+    import jax
+
+    if _SCATTER_POSES_JIT is None:
+        _SCATTER_POSES_JIT = jax.jit(_scatter_poses_trace)
+    return _SCATTER_POSES_JIT(
+        kf_poses, window_idx, new_cams, fixed_c2w, opt_mask
+    )

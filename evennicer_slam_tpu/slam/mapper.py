@@ -59,6 +59,8 @@ from evennicer_slam_tpu.slam.keyframes import (
     frustum_feature_masks_dev,
     keyframe_selection_overlap,
     random_select,
+    scatter_window_poses_dev,
+    select_assemble_window_dev,
 )
 from evennicer_slam_tpu.utils.optim import AdamState, adam_init, adam_update
 
@@ -680,6 +682,7 @@ class Mapper:
             if selection == "global":
                 frames = random_select(len(kf) - 1, num, rng)
             else:
+                kf.sync_host_poses()  # device BA may have updated poses
                 frames = keyframe_selection_overlap(
                     np.asarray(gt_color), np.asarray(gt_depth),
                     np.asarray(cur_c2w), kf.frames[:-1], num, self.cam,
@@ -712,13 +715,25 @@ class Mapper:
                 col_list.append(c)
                 dep_list.append(d)
         cur_is_dev = not isinstance(cur_c2w, np.ndarray)
-        kf_rows = np.stack(
-            [
-                np.eye(4, dtype=np.float32) if (f == -1 and cur_is_dev)
-                else (cur_c2w if f == -1 else self.keyframes.frames[f]["est_c2w"])
-                for f in frames
-            ]
-        ).astype(np.float32)
+        if self.keyframes.host_poses_stale and cur_is_dev and not need_cams:
+            # device BA updated the pose stack; gather the window rows on
+            # device instead of fetching (used by the fused-coarse window in
+            # the grown-registry fast path)
+            _, _, poses_dev = self.keyframes.device_stack()
+            sel = jnp.asarray(
+                np.array([0 if f == -1 else f for f in frames], np.int32)
+            )
+            kf_rows = poses_dev[sel]
+        else:
+            self.keyframes.sync_host_poses()
+            kf_rows = np.stack(
+                [
+                    np.eye(4, dtype=np.float32) if (f == -1 and cur_is_dev)
+                    else (cur_c2w if f == -1
+                          else self.keyframes.frames[f]["est_c2w"])
+                    for f in frames
+                ]
+            ).astype(np.float32)
         cams = None
         if need_cams:
             cams = np.stack(
@@ -773,8 +788,45 @@ class Mapper:
         # no BA, pose-free window selection). Everything below then splices
         # the device pose in on device — zero host round trips.
         pose_is_dev = not isinstance(cur_c2w, np.ndarray)
-        window = self.select_window(cur_gt_color, cur_gt_depth, cur_c2w)
-        K = len(window)
+
+        # window images assembled on DEVICE: keyframes from the store's
+        # device cache, the current frame from the pipeline's upload — the
+        # host link is slow enough that re-uploading the window every call
+        # dominated the mapping wall time
+        if cur_images_dev is not None:
+            cur_color_dev, cur_depth_dev = cur_images_dev
+        else:
+            cur_color_dev = jnp.asarray(np.asarray(cur_gt_color))
+            cur_depth_dev = jnp.asarray(np.asarray(cur_gt_depth))
+
+        # Grown-registry fast path: with a device pose and overlap selection,
+        # the scorer + selection + window assembly (and, below, the BA pose
+        # write-back) all run as device programs — keeping the steady-state
+        # pipeline fully asynchronous where the host path would fetch the
+        # pose (draining the device queue) every mapping call. Measured on
+        # the bench's grown-window phase: 1.32 -> ~1.7 fps.
+        dev_select = (
+            pose_is_dev
+            and self.selection == "overlap"
+            and len(self.keyframes) > 1
+            and not cfg.save_selected_keyframes_info
+        )
+        window_idx_dev = opt_mask = None
+        if dev_select:
+            K = min(cfg.window_size, len(self.keyframes) + 1)
+            window = None
+            kf_cols, kf_deps, kf_poses = self.keyframes.device_stack()
+            (colors, depths, fixed_c2w, cam_tensors, window_idx_dev,
+             opt_mask) = select_assemble_window_dev(
+                jax.random.PRNGKey(np.uint32(seed * 2 + 1)),
+                kf_cols, kf_deps, kf_poses,
+                cur_color_dev, cur_depth_dev, cur_c2w, K - 2, cam,
+            )
+        else:
+            window = self.select_window(cur_gt_color, cur_gt_depth, cur_c2w)
+            K = len(window)
+            colors, depths, fixed_c2w, cam_tensors = self._assemble_window(
+                window, cur_color_dev, cur_depth_dev, cur_c2w)
         pix_per_img = cfg.pixels // K
 
         if cfg.save_selected_keyframes_info:
@@ -788,18 +840,6 @@ class Mapper:
                                  "est_c2w": kf["est_c2w"].copy(),
                                  "gt_c2w": kf["gt_c2w"].copy()})
             self.selected_keyframes[idx] = info
-
-        # window images assembled on DEVICE: keyframes from the store's
-        # device cache, the current frame from the pipeline's upload — the
-        # host link is slow enough that re-uploading the window every call
-        # dominated the mapping wall time
-        if cur_images_dev is not None:
-            cur_color_dev, cur_depth_dev = cur_images_dev
-        else:
-            cur_color_dev = jnp.asarray(np.asarray(cur_gt_color))
-            cur_depth_dev = jnp.asarray(np.asarray(cur_gt_depth))
-        colors, depths, fixed_c2w, cam_tensors = self._assemble_window(
-            window, cur_color_dev, cur_depth_dev, cur_c2w)
 
         # fused coarse-mapper term: its own globally-random window, assembled
         # from the same device image cache
@@ -826,19 +866,22 @@ class Mapper:
             pix_per_img_c = 0
 
         ba = self.BA_active and not self.coarse_mapper
-        assert not (ba and pose_is_dev), (
-            "BA needs the current pose and the optimized window poses on "
-            "host; the async device-pose path must not be used with BA"
+        assert not (ba and pose_is_dev and not dev_select), (
+            "BA with a device pose needs the device selection/write-back "
+            "path (overlap selection); host-path BA must receive a numpy "
+            "pose"
         )
         # the reference anchors the oldest KEYFRAME and optimizes the current
         # frame's pose (oldest computed BEFORE appending -1,
         # src/Mapper.py:296-300); min over the full window would instead
-        # freeze the current frame (-1) and leave the gauge unanchored
-        kf_only = [f for f in window if f != -1]
-        oldest = min(kf_only) if kf_only else -1
-        opt_mask = np.array(
-            [0.0 if f == oldest else 1.0 for f in window], np.float32
-        )
+        # freeze the current frame (-1) and leave the gauge unanchored.
+        # (dev_select computed opt_mask on device already.)
+        if not dev_select:
+            kf_only = [f for f in window if f != -1]
+            oldest = min(kf_only) if kf_only else -1
+            opt_mask = np.array(
+                [0.0 if f == oldest else 1.0 for f in window], np.float32
+            )
 
         # stage schedule
         if self.coarse_mapper:
@@ -993,7 +1036,16 @@ class Mapper:
         self.last_loss = loss
 
         new_cur_c2w = None
-        if ba:
+        if ba and dev_select:
+            # device-side write-back: optimized window poses scatter into
+            # the registry's device pose stack (host copies lazily synced);
+            # the new current-frame pose stays a device array
+            _, _, kf_poses = self.keyframes.device_stack()
+            new_poses, new_cur_c2w = scatter_window_poses_dev(
+                kf_poses, window_idx_dev, new_cams, fixed_c2w, opt_mask
+            )
+            self.keyframes.set_poses_device(new_poses)
+        elif ba:
             cams_np = np.asarray(new_cams)
             for slot, f in enumerate(window):
                 if f == oldest:

@@ -488,16 +488,29 @@ class EvenNICERSLAM:
 
     def _async_map_ok(self) -> bool:
         """True when a steady-state mapping call can run from the tracker's
-        DEVICE pose without the host ever needing the pose value: window
-        selection is pose-free (≤1 keyframe, or 'global' policy), BA cannot
-        activate, and per-window keyframe info logging is off."""
+        DEVICE pose without the host ever needing the pose value. Two ways
+        this holds:
+
+        - pose-free selection (≤1 keyframe, or 'global' policy) with BA
+          unable to activate — the original fast path; or
+        - overlap selection with a grown registry: the mapper's device
+          selection/assembly/BA-write-back path (keyframes.py
+          select_assemble_window_dev) keeps everything on device, BA
+          included.
+
+        Per-window keyframe info logging always forces the host path."""
+        if self.mapper.cfg.save_selected_keyframes_info:
+            return False
         kf_count = len(self.mapper.keyframes)
+        if (
+            self.mapper.selection == "overlap"
+            and kf_count > 1
+            and not self.concurrent
+        ):
+            return True
         pose_free_selection = kf_count <= 1 or self.mapper.selection == "global"
         ba_possible = self.mapper.cfg.BA and kf_count > 4
-        return (
-            pose_free_selection and not ba_possible
-            and not self.mapper.cfg.save_selected_keyframes_info
-        )
+        return pose_free_selection and not ba_possible
 
     def _map_frame(self, idx: int, frame, init: bool, color_refine: bool = False,
                    images_dev=None):
@@ -783,8 +796,10 @@ class EvenNICERSLAM:
                       f"track_dispatch={self.timings['track']:.1f}s "
                       f"map_dispatch={self.timings['map']:.1f}s")
             if mapped and checkpoint and idx > 0 and idx % ckpt_freq == 0:
+                self.mapper.keyframes.sync_host_poses()
                 self.logger.log(self, idx)
             if mapped and mesh and idx > 0 and idx % mesh_freq == 0 and idx != n - 1:
+                self.mapper.keyframes.sync_host_poses()
                 self.mesher.get_mesh(
                     f"{self.output}/mesh/{idx:05d}_mesh.ply",
                     self.grids, self.decoders, self.mapper.keyframes.frames,
@@ -793,6 +808,7 @@ class EvenNICERSLAM:
 
         last = n - 1
         self._flush_metrics(force=True)
+        self.mapper.keyframes.sync_host_poses()
         if checkpoint:
             self.logger.log(self, last)
         if mesh:
