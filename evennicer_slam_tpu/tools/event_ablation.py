@@ -90,6 +90,11 @@ def build_cfg(scene_dir: str, n_frames: int, H: int, W: int,
 # variant grid: name -> (activate_events, best_pose_criterion, extra event cfg)
 VARIANTS = {
     "A_dead_reckoning": (False, "rgbd", {}),
+    # FULL-RGBD ANCHOR (round-3 verdict item 3): RGB-D loss on EVERY frame,
+    # no event optimization — what the tracker achieves when it never has to
+    # coast between anchors. The event rows give up (R - C) of ATE in
+    # exchange for needing RGB-D only every 5th frame.
+    "R_full_rgbd_anchor": (False, "rgbd", {"rgbd_every_frame": 1}),
     "C_events_reference": (True, "event", {}),
     # ORACLE: analytic ESIM predictor instead of the UNet. On the synthetic
     # bench the GT events ARE gain*(I2-I1) split by polarity, so this is the
@@ -97,6 +102,14 @@ VARIANTS = {
     # C vs O separates "net quality" from "loss/feedback geometry" as the
     # binding constraint on event-tracking ATE.
     "O_esim_oracle": (True, "event", {"predictor": "esim"}),
+    # GAP ATTACK (round-3 verdict item 3): the oracle row shows the
+    # predictor is not the binding constraint — the 0.15-scale event render
+    # is. Supervise the event loss at a higher resolution (0.25 scale =
+    # 2.8x the pixels; costs proportional render time per tracking iter).
+    # Run with the esim predictor so the measurement isolates resolution
+    # from UNet domain-shift (the shipped UNet was trained at 0.15 scale).
+    "H_hires_events": (True, "event",
+                       {"scale_factor": 0.25, "predictor": "esim"}),
     "Cp_rgbd_criterion": (True, "rgbd", {}),
     "D_non_rgbd_only": ("non_rgbd", "rgbd", {}),
     "E_bias_const": ("non_rgbd", "rgbd", {"bias_correction": True}),
@@ -127,10 +140,11 @@ def summarize(per_seed, seeds, frames):
         for name, v in per_seed.items()
     }
     # deployable event modes only: the O_* oracle is a BOUND (Bayes-optimal
-    # on synthetic ESIM GT by construction), not a mode a real run can ship
-    # — it must not set best_event_mode or the beats-dead-reckoning flags
+    # on synthetic ESIM GT by construction) and R_* is the full-RGBD anchor
+    # (not an event mode) — neither may set best_event_mode or the
+    # beats-dead-reckoning flags
     ev_means = {n: s["mean"] for n, s in summary.items()
-                if not n.startswith(("A_", "O_"))}
+                if not n.startswith(("A_", "O_", "R_"))}
     best = min(ev_means, key=ev_means.get) if ev_means else None
     out = {
         "summary": summary,
