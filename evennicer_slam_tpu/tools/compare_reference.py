@@ -1,0 +1,448 @@
+"""End-to-end reference-vs-repo comparison on the synthetic fixture (CPU).
+
+Drives the ACTUAL reference Tracker+Mapper from /root/reference (CPU torch,
+shimmed by utils/refbridge.py, bypassing the wandb/open3d orchestrator) on a
+tiny synthetic Replica-format sequence, and this repo's pipeline on the SAME
+data from the SAME initial map state (identical converted decoder/grid/
+EventNet weights), then evaluates both trajectories with the same Horn-aligned
+ATE. This is the closest this environment can get to the BASELINE.md
+"ATE within 5% of the CUDA reference" contract (no real datasets, no GPU):
+the reference code itself is the oracle.
+
+Modes:
+- RGB-D   : reference vanilla engines (src/Tracker_nice.py:18-258,
+            src/Mapper_nice.py:21-657) vs repo ``use_events=False`` — the
+            documented unified-path equivalence.
+- events  : reference event engines (src/Tracker.py:22-466,
+            src/Mapper.py:21-879) vs repo event mode, shared EventNet weights,
+            ``rgbd_every_frame=5``.
+
+The reference's three processes run as threads here (shared torch tensors
+replace shared-memory IPC; the sync logic is the reference's own,
+src/Tracker.py:281-295 / src/Mapper.py:743-757).
+
+Usage:
+    python -m evennicer_slam_tpu.tools.compare_reference \
+        [--frames 30] [--scene /tmp/enslam_ref_compare] \
+        [--out benchmarks/reference_compare.json] [--modes rgbd events]
+"""
+
+from __future__ import annotations
+
+import argparse
+import contextlib
+import copy
+import glob
+import json
+import os
+import threading
+import time
+
+
+def build_cfg(scene_dir: str, frames: int, events: bool):
+    """Shared config: reference key tree, CPU devices, reduced-but-faithful
+    schedule (tracker 10 it x 200 px, mapper 60 it x 500 px every 5 frames)."""
+    from evennicer_slam_tpu.config import (
+        default_config_path,
+        load_config,
+        update_recursive,
+    )
+    from evennicer_slam_tpu.data.synthetic import make_synthetic_replica
+
+    H, W = 64, 80
+    frag = make_synthetic_replica(
+        scene_dir, n_frames=frames, H=H, W=W, fx=60.0, fy=60.0,
+        traj_step=0.02, reuse_if_current=True,
+    )
+    if not events:
+        frag["dataset"] = "replica"
+    cfg = load_config(default_config_path(nice=True))
+    update_recursive(cfg, frag)
+    update_recursive(cfg, {
+        "verbose": False,
+        "coarse": True,
+        "sync_method": "strict",
+        "mapping": {
+            "device": "cpu",
+            "iters_first": 300, "iters": 60, "every_frame": 5,
+            "pixels": 500, "mapping_window_size": 5, "keyframe_every": 5,
+            "mesh_freq": 10**9, "ckpt_freq": 10**9,
+            "color_refine": False,
+            "vis_freq": 10**9, "vis_inside_freq": 10**9,
+        },
+        "tracking": {
+            "device": "cpu",
+            "iters": 10, "pixels": 200,
+            "ignore_edge_W": 4, "ignore_edge_H": 4,
+            "vis_freq": 10**9, "vis_inside_freq": 10**9,
+        },
+        "grid_len": {"coarse": 0.8, "middle": 0.4, "fine": 0.2, "color": 0.2,
+                     "bound_divisible": 0.2},
+        "meshing": {"eval_rec": False},
+        "event": {
+            "rgbd_every_frame": 5 if events else 1,
+            "activate_events": True, "balancer": 0.025,
+            "scale_factor": 0.25, "blur": True, "kernel_sizes": [3],
+            "unblurred_weight": 0, "kernel_weights": [1],
+        },
+        "data": {"output": os.path.join(scene_dir, "out_ref")},
+    })
+    return cfg
+
+
+def build_shared_init(cfg, scene_dir: str, events: bool, seed: int = 0):
+    """Seeded torch-side initial state (reference-native modules) plus its
+    repo-format conversion, so both runs start from the SAME map.
+
+    Returns (torch_state, repo_state) dicts.
+    """
+    import numpy as np
+    import torch
+
+    from src.conv_onet.models import decoder as ref_decoder
+
+    from evennicer_slam_tpu.models.grids import GRID_INIT_STD, grid_shapes
+    from evennicer_slam_tpu.models.pretrained import _mlp_from_torch
+    from evennicer_slam_tpu.slam.pipeline import load_scene_bound
+
+    bound = load_scene_bound(cfg)  # bound_divisible rounding, scale applied
+    gl = cfg["grid_len"]
+    c_dim = cfg["model"]["c_dim"]
+    enlarge = cfg["model"]["coarse_bound_enlarge"]
+
+    torch.manual_seed(seed)
+    nice = ref_decoder.NICE(
+        dim=3, c_dim=c_dim,
+        coarse_grid_len=gl["coarse"], middle_grid_len=gl["middle"],
+        fine_grid_len=gl["fine"], color_grid_len=gl["color"],
+        hidden_size=cfg["model"].get("hidden_size", 32), coarse=True,
+    )
+    tb = torch.from_numpy(np.asarray(bound, np.float64))
+    nice.bound = tb
+    for lvl in ("middle", "fine", "color"):
+        getattr(nice, f"{lvl}_decoder").bound = tb
+    nice.coarse_decoder.bound = tb * enlarge
+
+    shapes = grid_shapes(np.asarray(bound), gl, coarse=True,
+                         coarse_bound_enlarge=enlarge)
+    torch_grids = {}
+    jax_grids = {}
+    for lvl, (nz, ny, nx) in shapes.items():
+        g = torch.zeros(1, c_dim, nz, ny, nx).normal_(0, GRID_INIT_STD[lvl])
+        torch_grids[f"grid_{lvl}"] = g
+        jax_grids[lvl] = np.transpose(g.numpy()[0], (1, 2, 3, 0)).copy()
+
+    state = {k: v.detach().numpy() for k, v in nice.state_dict().items()}
+    repo_decoders = {
+        lvl: _mlp_from_torch(state, prefix=f"{lvl}_decoder.")
+        for lvl in ("coarse", "middle", "fine", "color")
+    }
+
+    eventnet_path = None
+    if events:
+        import sys
+
+        sys.path.insert(0, "/root/reference")
+        from event_net.unet_model import UNet_2heads
+
+        torch.manual_seed(seed + 1)
+        net = UNet_2heads(n_channels=6, n_classes1=2, n_classes2=2)
+        eventnet_path = os.path.join(scene_dir, "eventnet_shared.pth")
+        torch.save(net.state_dict(), eventnet_path)
+        cfg["event"]["pretrained_path"] = eventnet_path
+
+    return (
+        {"nice": nice, "grids": torch_grids, "eventnet_path": eventnet_path},
+        {"decoders": repo_decoders, "grids": jax_grids},
+    )
+
+
+class _Stub:
+    """No-op mesher/logger stand-in (meshing/ckpts are out of scope here)."""
+
+    def get_mesh(self, *a, **k):
+        pass
+
+    def log(self, *a, **k):
+        pass
+
+
+class _Args:
+    input_folder = None
+    event_folder = None
+    output = None
+
+
+def _link_jpg_frames(scene_dir: str):
+    """The reference Replica loader globs results/frame*.jpg
+    (src/utils/datasets.py:120-121); the synthetic scene writes PNGs. Symlink
+    .jpg names to the SAME png files (cv2.imread sniffs content, not
+    extension) so both sides read bit-identical pixels."""
+    for stale in glob.glob(os.path.join(scene_dir, "results", "frame*.jpg")):
+        os.remove(stale)
+    for p in sorted(glob.glob(os.path.join(scene_dir, "results", "frame*.png"))):
+        os.symlink(os.path.basename(p), p[:-4] + ".jpg")
+
+
+def run_reference(cfg, torch_state, events: bool):
+    """Run the reference engines (threads, strict sync) -> (est, gt, seconds)."""
+    import numpy as np
+    import torch
+
+    from src.utils.Renderer import Renderer as RefRenderer
+
+    if events:
+        from src.Mapper import Mapper as RefMapper
+        from src.Tracker import Tracker as RefTracker
+    else:
+        # the in-tree vanilla engines construct Visualizer without the
+        # `experiment` arg (src/Tracker_nice.py:66-68 — written against the
+        # pre-wandb Visualizer); adapt, vis never fires at freq 1e9
+        import src.Mapper_nice as mapper_nice_mod
+        import src.Tracker_nice as tracker_nice_mod
+        from src.utils.Visualizer import Visualizer as _RefVis
+
+        class _VisAdapter(_RefVis):
+            def __init__(self, freq, inside_freq, vis_dir, renderer, verbose,
+                         device="cpu"):
+                super().__init__(freq, inside_freq, vis_dir, renderer,
+                                 verbose, experiment=None, device=device)
+
+        tracker_nice_mod.Visualizer = _VisAdapter
+        mapper_nice_mod.Visualizer = _VisAdapter
+        RefMapper = mapper_nice_mod.Mapper
+        RefTracker = tracker_nice_mod.Tracker
+
+    from evennicer_slam_tpu.slam.pipeline import load_scene_bound
+
+    cfg = copy.deepcopy(cfg)
+    n_img = None
+
+    class _Slam:
+        pass
+
+    slam = _Slam()
+    slam.nice = True
+    slam.verbose = False
+    slam.low_gpu_mem = False
+    slam.output = cfg["data"]["output"]
+    os.makedirs(slam.output, exist_ok=True)
+    slam.ckptsdir = os.path.join(slam.output, "ckpts")
+    cam = cfg["cam"]
+    slam.H, slam.W = cam["H"], cam["W"]
+    slam.fx, slam.fy, slam.cx, slam.cy = (
+        cam["fx"], cam["fy"], cam["cx"], cam["cy"]
+    )
+    slam.bound = torch.from_numpy(
+        np.asarray(load_scene_bound(cfg), np.float64)
+    )
+    slam.shared_decoders = torch_state["nice"]
+    slam.shared_c = {k: v.clone() for k, v in torch_state["grids"].items()}
+    slam.idx = torch.zeros((1,)).int()
+    slam.mapping_idx = torch.zeros((1,)).int()
+    slam.mapping_cnt = torch.zeros((1,)).int()
+    slam.mapping_first_frame = torch.zeros((1,)).int()
+    slam.mesher = _Stub()
+    slam.logger = _Stub()
+    slam.experiment = None
+    slam.scale_factor = cfg["event"]["scale_factor"]
+    if events:
+        from event_net.unet_model import UNet_2heads
+
+        net = UNet_2heads(n_channels=6, n_classes1=2, n_classes2=2)
+        net.load_state_dict(
+            torch.load(torch_state["eventnet_path"], map_location="cpu")
+        )
+        slam.event_net = net
+    else:
+        slam.event_net = None
+    slam.renderer = RefRenderer(cfg, _Args(), slam)
+
+    # engine constructors capture slam.estimate_c2w_list — allocate first
+    # (sequence length = number of frames on disk)
+    from src.utils.datasets import get_dataset as ref_get_dataset
+
+    n_img = len(ref_get_dataset(cfg, _Args(), cfg["scale"], device="cpu"))
+    slam.estimate_c2w_list = torch.zeros((n_img, 4, 4))
+    slam.gt_c2w_list = torch.zeros((n_img, 4, 4))
+
+    tracker = RefTracker(cfg, _Args(), slam)
+    mapper = RefMapper(cfg, _Args(), slam)
+    coarse_mapper = None
+    if cfg["coarse"]:
+        coarse_mapper = RefMapper(cfg, _Args(), slam, coarse_mapper=True)
+
+    # Process-isolation semantics under threads: in the reference each
+    # engine is a separate PROCESS — shared-memory grids share STORAGE but
+    # every process has its own tensor objects (own requires_grad/grad_fn
+    # metadata), so the mapper's in-place optimization scatters
+    # (src/Mapper.py:448-458) never leak autograd state into the tracker's
+    # grid clones. detach() reproduces exactly that: same storage, separate
+    # metadata per engine.
+    tracker.shared_c = {k: v.detach() for k, v in slam.shared_c.items()}
+    mapper.c = {k: v.detach() for k, v in slam.shared_c.items()}
+    if coarse_mapper is not None:
+        coarse_mapper.c = {k: v.detach() for k, v in slam.shared_c.items()}
+
+    errors = []
+
+    def _guard(fn):
+        def inner():
+            try:
+                fn()
+            except Exception:  # propagate to the main thread via `errors`
+                import traceback
+
+                errors.append(traceback.format_exc())
+
+        return inner
+
+    def _tracking():
+        # orchestrator gate: tracking starts after the first map
+        # (src/EvenNICER_SLAM.py:285-289)
+        while slam.mapping_first_frame[0] != 1:
+            if errors:
+                return
+            time.sleep(0.05)
+        tracker.run()
+
+    t0 = time.time()
+    threads = [
+        threading.Thread(target=_guard(mapper.run), daemon=True),
+        threading.Thread(target=_guard(_tracking), daemon=True),
+    ]
+    if coarse_mapper is not None:
+        threads.append(
+            threading.Thread(target=_guard(coarse_mapper.run), daemon=True)
+        )
+    with open(os.devnull, "w") as devnull, \
+            contextlib.redirect_stdout(devnull):
+        for t in threads:
+            t.start()
+        # tracker (index 1) finishing means all frames are tracked; the fine
+        # mapper finishes right after the final frame's map. Join in short
+        # slices so a crashed peer (errors non-empty) aborts immediately
+        # instead of leaving the survivors spinning in their sync waits.
+        deadline = time.time() + 3600
+        for t in (threads[1], threads[0]) + tuple(threads[2:]):
+            while t.is_alive() and not errors and time.time() < deadline:
+                t.join(timeout=2.0)
+            if errors:
+                break
+    if errors:
+        raise RuntimeError("reference run failed:\n" + "\n".join(errors))
+    if any(t.is_alive() for t in threads):
+        raise RuntimeError("reference run timed out")
+    dt = time.time() - t0
+
+    est = slam.estimate_c2w_list.numpy().copy()
+    gt = np.stack([
+        tracker.frame_reader[i][-1].numpy() for i in range(n_img)
+    ])
+    return est, gt, dt
+
+
+def run_repo(cfg, repo_state, events: bool):
+    """Run this repo's pipeline from the same initial state -> (est, gt, s)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
+
+    cfg = copy.deepcopy(cfg)
+    cfg["data"]["output"] = cfg["data"]["output"].replace("out_ref", "out_repo")
+    slam = EvenNICERSLAM(cfg, nice=True)
+    slam.grids = {k: jnp.asarray(v) for k, v in repo_state["grids"].items()}
+    import jax
+
+    slam.decoders = jax.tree.map(jnp.asarray, repo_state["decoders"])
+    t0 = time.time()
+    est = slam.run(mesh=False, checkpoint=False)
+    dt = time.time() - t0
+    return np.asarray(est), np.asarray(slam.gt_c2w_list), dt
+
+
+def _ate(est, gt):
+    import numpy as np
+
+    from evennicer_slam_tpu.tools.eval_ate import evaluate_ate
+
+    res = evaluate_ate(
+        np.asarray(est)[:, :3, 3], np.asarray(gt)[:, :3, 3]
+    )
+    return {
+        "rmse_m": res["absolute_translational_error.rmse"],
+        "mean_m": res["absolute_translational_error.mean"],
+        "median_m": res["absolute_translational_error.median"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--frames", type=int, default=30)
+    ap.add_argument("--scene", default="/tmp/enslam_ref_compare")
+    ap.add_argument("--out", default="benchmarks/reference_compare.json")
+    ap.add_argument("--modes", nargs="+", default=["rgbd", "events"],
+                    choices=["rgbd", "events"])
+    ap.add_argument("--seeds", type=int, nargs="+", default=[0])
+    args = ap.parse_args()
+
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+    from evennicer_slam_tpu.utils import refbridge
+
+    if not refbridge.reference_available():
+        raise SystemExit("/root/reference not present")
+    refbridge.install()
+
+    results = {"frames": args.frames, "modes": {}}
+    if os.path.exists(args.out):
+        # merge with a previous partial run (same frame count only)
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            if prev.get("frames") == args.frames:
+                results["modes"].update(prev.get("modes", {}))
+        except (OSError, ValueError):
+            pass
+    for mode in args.modes:
+        events = mode == "events"
+        scene = args.scene + ("_ev" if events else "_rgbd")
+        cfg = build_cfg(scene, args.frames, events)
+        _link_jpg_frames(scene)
+        per_seed = []
+        for seed in args.seeds:
+            torch_state, repo_state = build_shared_init(
+                cfg, scene, events, seed=seed
+            )
+            print(f"[{mode} seed {seed}] running reference engines "
+                  "(CPU torch, threads)...", flush=True)
+            est_ref, gt, t_ref = run_reference(cfg, torch_state, events)
+            ate_ref = _ate(est_ref, gt)
+            print(f"[{mode} seed {seed}] reference ATE "
+                  f"{ate_ref['rmse_m']:.4f} m in {t_ref:.0f}s", flush=True)
+            print(f"[{mode} seed {seed}] running repo pipeline...", flush=True)
+            est_repo, gt2, t_repo = run_repo(cfg, repo_state, events)
+            ate_repo = _ate(est_repo, gt2)
+            print(f"[{mode} seed {seed}] repo ATE "
+                  f"{ate_repo['rmse_m']:.4f} m in {t_repo:.0f}s", flush=True)
+            per_seed.append({
+                "seed": seed,
+                "reference": {"ate": ate_ref, "seconds": t_ref},
+                "repo": {"ate": ate_repo, "seconds": t_repo},
+                "repo_over_reference_rmse": (
+                    ate_repo["rmse_m"] / max(ate_ref["rmse_m"], 1e-12)
+                ),
+            })
+        results["modes"][mode] = per_seed
+        # write incrementally: a crash in a later mode must not lose
+        # completed modes' results
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        with open(args.out, "w") as f:
+            json.dump(results, f, indent=2)
+
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -63,12 +63,21 @@ def _install_torchvision_stub():
             unbatched = img.dim() == 3
             if unbatched:
                 img = img[None]
+            # torchvision casts non-float tensors to float for interpolate
+            # and back afterwards (_cast_squeeze_in/_cast_squeeze_out)
+            orig_dtype = img.dtype
+            if not img.is_floating_point():
+                img = img.to(torch.float32)
             if self.interpolation == "nearest":
                 out = F.interpolate(img, size=self.size, mode="nearest")
             else:
                 out = F.interpolate(
                     img, size=self.size, mode="bilinear", align_corners=False
                 )
+            if out.dtype != orig_dtype:
+                out = (out.round() if not torch.tensor(
+                    0, dtype=orig_dtype).is_floating_point() else out
+                ).to(orig_dtype)
             return out[0] if unbatched else out
 
     def _gaussian_kernel1d(kernel_size: int, sigma: float):
