@@ -110,6 +110,13 @@ VARIANTS = {
     # from UNet domain-shift (the shipped UNet was trained at 0.15 scale).
     "H_hires_events": (True, "event",
                        {"scale_factor": 0.25, "predictor": "esim"}),
+    # as H, but with the event weight normalized PER PIXEL: the reference's
+    # balancer multiplies a summed loss, so 2.8x the pixels silently means
+    # 2.8x the event weight against the RGB-D anchor terms;
+    # 0.025 * (0.15/0.25)^2 = 0.009 keeps the per-pixel weight constant
+    "H2_hires_balanced": (True, "event",
+                          {"scale_factor": 0.25, "predictor": "esim",
+                           "balancer": 0.009}),
     "Cp_rgbd_criterion": (True, "rgbd", {}),
     "D_non_rgbd_only": ("non_rgbd", "rgbd", {}),
     "E_bias_const": ("non_rgbd", "rgbd", {"bias_correction": True}),
