@@ -47,6 +47,17 @@ def main():
                              " against the artifacts incl. a frame-0"
                              " re-render); skips minutes of host ray"
                              " tracing on reruns")
+    parser.add_argument("--predictor", choices=["unet", "esim"],
+                        default="unet",
+                        help="--events predictor: 'unet' (the shipped "
+                             "map-domain net; out-of-domain on scenes it "
+                             "was not trained on) or 'esim' (analytic, "
+                             "net-free, Bayes-optimal on this synthetic "
+                             "GT)")
+    parser.add_argument("--hires_events", action="store_true",
+                        help="--events at 0.25 scale with the per-pixel-"
+                             "constant event weight (the ablation's H2 "
+                             "recipe, benchmarks/event_ablation_r4.json)")
     parser.add_argument("--keyframe_every", type=int, default=None,
                         help="override mapping.keyframe_every (the coverage"
                              " trajectory pans faster than the reference's"
@@ -131,7 +142,13 @@ def main():
             "rgbd_every_frame": 5, "activate_events": True, "balancer": 0.025,
             "scale_factor": 0.15, "blur": True, "kernel_sizes": [9],
             "unblurred_weight": 0, "kernel_weights": [1],
+            "predictor": args.predictor,
         }
+        if args.hires_events:
+            # the ablation's winning H2 recipe: 0.25-scale event render with
+            # the per-pixel event weight held constant
+            overrides["event"]["scale_factor"] = 0.25
+            overrides["event"]["balancer"] = 0.025 * (0.15 / 0.25) ** 2
     else:
         overrides["dataset"] = "replica"  # RGB-D only
     update_recursive(cfg, overrides)
