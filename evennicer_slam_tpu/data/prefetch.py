@@ -106,6 +106,14 @@ class PrefetchingReader:
             with self._lock:
                 self._pinned.add(idx)
 
+    def release_device(self, indices):
+        """Unpin + drop frames preloaded by :meth:`preload_device` (benchmark
+        phases release the previous phase's window to keep HBM headroom)."""
+        with self._lock:
+            for idx in indices:
+                self._pinned.discard(idx)
+                self._cache.pop(idx, None)
+
     def __len__(self):
         return len(self._reader)
 

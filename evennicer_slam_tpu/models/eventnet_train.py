@@ -38,14 +38,15 @@ def make_pair_batch(
     full_hw: Tuple[int, int] = None,
 ):
     """Random intensity pairs + GT events from the synthetic room, matched to
-    the SLAM-time input distribution: the previous image is a BILINEAR
-    down-scale of the full-res frame, the current image is point-sampled on
+    the SLAM-time input distribution: the previous image is a NEAREST
+    down-scale of the full-res frame (the reference's transform,
+    src/Tracker.py:136,148), the current image is point-sampled on
     the renderer's sparse low-res ray grid, and the event target is the
     nearest-downsampled full-res event image (exactly what the tracker's
     event loss consumes, slam/tracker.py)."""
     import jax.numpy as jnp
 
-    from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
+    from evennicer_slam_tpu.ops.resize import resize_nearest
 
     h, w = hw
     H, W = full_hw if full_hw else (4 * h, 4 * w)
@@ -66,7 +67,9 @@ def make_pair_batch(
         c2_lo, _ = render_box_views(
             traj[k + 1], h, w, fx / sx, fy / sy, cx / sx, cy / sy, bound
         )
-        c1_lo = np.asarray(resize_bilinear(jnp.asarray(c1_full), (h, w)))
+        # NEAREST: deployment feeds the net a nearest-resized previous image
+        # (reference src/Tracker.py:136,148), so train on the same statistics
+        c1_lo = np.asarray(resize_nearest(jnp.asarray(c1_full), (h, w)))
         diff_full = (c2_full.mean(-1) - c1_full.mean(-1)) * gain
         ev_full = np.stack(
             [np.clip(-diff_full, 0, 255), np.clip(diff_full, 0, 255)], -1
@@ -170,7 +173,7 @@ def map_domain_pairs(
     ``n_map_frames`` of the configured dataset, then for random (k, k+j)
     windows (j <= max_offset, the ``rgbd_every_frame`` horizon) renders the
     CURRENT image from the learned map at the GT pose and pairs it with the
-    bilinear-downscaled GT previous image and the nearest-downscaled
+    nearest-downscaled GT previous image and the nearest-downscaled
     integral of the GT events over the window — exactly the tracker's
     inference-time input/target distribution.
 
@@ -180,7 +183,7 @@ def map_domain_pairs(
     frame and the GT view AT THAT POSE. Without these, off-pose renders are
     out-of-distribution and the net's predictions flatten the tracker's loss
     landscape exactly where pose gradients are needed."""
-    from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
+    from evennicer_slam_tpu.ops.resize import resize_nearest
     from evennicer_slam_tpu.slam.pipeline import EvenNICERSLAM
 
     import copy
@@ -212,7 +215,7 @@ def map_domain_pairs(
         k = int(rng.integers(0, n - j))
         prev = frames[k]
         cur = frames[k + j]
-        prev_lo = resize_bilinear(jnp.asarray(prev.color), lo_hw)
+        prev_lo = resize_nearest(jnp.asarray(prev.color), lo_hw)
         perturbed = (
             gt_render_fn is not None
             and (perturb_trans > 0 or perturb_rot > 0)

@@ -30,6 +30,11 @@ class KeyframeStore:
         self._img_stack_len = 0
         self._poses_dev = None
         self.host_poses_stale = False
+        # optional target placement for uploads/stacks: the concurrent
+        # pipeline sets this to the MAP device group's replicated sharding so
+        # every registry array is committed there (mixing committed groups
+        # inside one jit is an error)
+        self.sharding = None
 
     def __len__(self):
         return len(self.frames)
@@ -38,18 +43,66 @@ class KeyframeStore:
     def indices(self) -> List[int]:
         return [f["idx"] for f in self.frames]
 
+    def _put(self, x):
+        import jax
+        import jax.numpy as jnp
+
+        if self.sharding is not None:
+            return jax.device_put(np.asarray(x), self.sharding)
+        return jnp.asarray(np.asarray(x))
+
+    def _ensure_poses_dev(self, n: int):
+        """Make the device pose stack cover the first ``n`` frames, uploading
+        host rows for any it does not hold yet (existing device rows are the
+        truth — host copies may be stale under device-side BA)."""
+        import jax.numpy as jnp
+
+        if n <= 0:
+            return
+        old = 0 if self._poses_dev is None else int(self._poses_dev.shape[0])
+        if old >= n:
+            return
+        host = np.stack(
+            [f["est_c2w"] for f in self.frames[old:n]]
+        ).astype(np.float32)
+        rows = self._put(host)
+        self._poses_dev = (
+            rows if self._poses_dev is None
+            else jnp.concatenate([self._poses_dev, rows], axis=0)
+        )
+
     def append(self, idx: int, color, depth, event, est_c2w, gt_c2w,
                device_images=None):
-        self.frames.append(
-            {
-                "idx": idx,
-                "color": np.asarray(color),
-                "depth": np.asarray(depth),
-                "event": np.asarray(event),
-                "est_c2w": np.asarray(est_c2w).copy(),
-                "gt_c2w": np.asarray(gt_c2w).copy(),
-            }
-        )
+        import jax.numpy as jnp
+
+        est_is_dev = isinstance(est_c2w, jnp.ndarray)
+        rec = {
+            "idx": idx,
+            "color": np.asarray(color),
+            "depth": np.asarray(depth),
+            "event": np.asarray(event),
+            # device est pose: host copy deferred (below) — np.asarray here
+            # would block the host on the mapping program that produced it
+            "est_c2w": (np.eye(4, dtype=np.float32) if est_is_dev
+                        else np.asarray(est_c2w).copy()),
+            "gt_c2w": np.asarray(gt_c2w).copy(),
+        }
+        if est_is_dev:
+            # concat the device pose row directly onto the pose stack (async
+            # device op, no fetch); host est_c2w refreshes lazily via
+            # sync_host_poses
+            self._ensure_poses_dev(len(self.frames))
+            row = est_c2w.astype(jnp.float32).reshape(1, 4, 4)
+            if self.sharding is not None:
+                import jax
+
+                row = jax.device_put(row, self.sharding)
+            self._poses_dev = (
+                row if self._poses_dev is None
+                else jnp.concatenate([self._poses_dev, row], axis=0)
+            )
+            self.host_poses_stale = True
+        self.frames.append(rec)
         if device_images is not None:
             # the frame is already on device (pipeline upload) — seed the
             # cache instead of re-shipping ~10 MB on the next mapping call
@@ -65,13 +118,15 @@ class KeyframeStore:
         self._poses_dev = None  # rebuild from (fresh) host rows on next use
 
     def device_images(self, kf_index: int):
-        """(color, depth) as device arrays, uploaded once per keyframe."""
-        import jax.numpy as jnp
-
+        """(color, depth) as device arrays. Frames already folded into the
+        stack are returned as device-side SLICES of it (no duplicate HBM
+        copy); newer frames come from the per-frame upload cache."""
+        if self._img_stack is not None and kf_index < self._img_stack_len:
+            return self._img_stack[0][kf_index], self._img_stack[1][kf_index]
         if kf_index not in self._device_cache:
             f = self.frames[kf_index]
             self._device_cache[kf_index] = (
-                jnp.asarray(f["color"]), jnp.asarray(f["depth"])
+                self._put(f["color"]), self._put(f["depth"])
             )
         return self._device_cache[kf_index]
 
@@ -80,35 +135,34 @@ class KeyframeStore:
         for the grown-registry async fast path (device-side window selection
         + assembly + BA write-back; no host pose fetch per mapping call).
 
-        Image stacks are rebuilt on append (stacking the already-cached
-        per-frame device arrays — a device-side concat, no re-upload). The
-        POSE stack is the source of truth while device-side BA is active:
-        rows updated on device are carried over on append, and host
-        ``est_c2w`` copies are refreshed lazily by :meth:`sync_host_poses`.
+        Image stacks GROW INCREMENTALLY: each append concatenates only the
+        new frame's (cached, already-on-device) images onto the stack, and
+        the per-frame cache entry is dropped once folded in — the stack is
+        the single HBM copy (``device_images`` serves folded frames as
+        slices of it). The POSE stack is the source of truth while
+        device-side BA is active: rows updated on device are carried over on
+        append, and host ``est_c2w`` copies are refreshed lazily by
+        :meth:`sync_host_poses`.
         """
         import jax.numpy as jnp
 
         n = len(self.frames)
-        if self._img_stack is None or self._img_stack_len != n:
-            cols, deps = zip(*(self.device_images(i) for i in range(n)))
-            self._img_stack = (jnp.stack(cols), jnp.stack(deps))
+        if self._img_stack_len != n:
+            new = [self.device_images(i) for i in range(self._img_stack_len, n)]
+            cols = [c[None] for c, _ in new]
+            deps = [d[None] for _, d in new]
+            if self._img_stack is not None:
+                cols.insert(0, self._img_stack[0])
+                deps.insert(0, self._img_stack[1])
+            self._img_stack = (
+                jnp.concatenate(cols, axis=0), jnp.concatenate(deps, axis=0)
+            )
             self._img_stack_len = n
-        if self._poses_dev is None or int(self._poses_dev.shape[0]) != n:
-            host = np.stack(
-                [f["est_c2w"] for f in self.frames]
-            ).astype(np.float32)
-            if (
-                self._poses_dev is not None
-                and int(self._poses_dev.shape[0]) < n
-            ):
-                # append: keep device truth for existing rows (host copies
-                # may be stale), upload only the new rows
-                old_n = int(self._poses_dev.shape[0])
-                self._poses_dev = jnp.concatenate(
-                    [self._poses_dev, jnp.asarray(host[old_n:])], axis=0
-                )
-            else:
-                self._poses_dev = jnp.asarray(host)
+            # folded frames now live in the stack only
+            for i in list(self._device_cache):
+                if i < n:
+                    del self._device_cache[i]
+        self._ensure_poses_dev(n)
         return self._img_stack[0], self._img_stack[1], self._poses_dev
 
     def set_poses_device(self, poses_dev):

@@ -811,6 +811,7 @@ class Mapper:
             and len(self.keyframes) > 1
             and not cfg.save_selected_keyframes_info
         )
+        ba = self.BA_active and not self.coarse_mapper
         window_idx_dev = opt_mask = None
         if dev_select:
             K = min(cfg.window_size, len(self.keyframes) + 1)
@@ -825,8 +826,13 @@ class Mapper:
         else:
             window = self.select_window(cur_gt_color, cur_gt_depth, cur_c2w)
             K = len(window)
+            # cam tensors are only ever read under BA (_window_c2w); without
+            # it, skip the quaternion conversions AND the host-pose sync they
+            # would force — the standalone coarse mapper (global selection,
+            # no BA) then stays on the async path even when device-side BA
+            # left host pose rows stale
             colors, depths, fixed_c2w, cam_tensors = self._assemble_window(
-                window, cur_color_dev, cur_depth_dev, cur_c2w)
+                window, cur_color_dev, cur_depth_dev, cur_c2w, need_cams=ba)
         pix_per_img = cfg.pixels // K
 
         if cfg.save_selected_keyframes_info:
@@ -865,7 +871,6 @@ class Mapper:
             fixed_c2w_c = self._zeros(colors.shape[0], 4, 4)
             pix_per_img_c = 0
 
-        ba = self.BA_active and not self.coarse_mapper
         assert not (ba and pose_is_dev and not dev_select), (
             "BA with a device pose needs the device selection/write-back "
             "path (overlap selection); host-path BA must receive a numpy "
@@ -942,7 +947,8 @@ class Mapper:
         use_events = cfg.use_events and not self.coarse_mapper and idx != 0
         lo_h, lo_w = self.lo_hw
         if use_events and pre_gt_color is not None:
-            prev_color_lo = resize_bilinear(jnp.asarray(pre_gt_color), self.lo_hw)
+            # NEAREST like the reference's transform (src/Mapper.py:444,587)
+            prev_color_lo = resize_nearest(jnp.asarray(pre_gt_color), self.lo_hw)
             gt_event_lo = resize_nearest(jnp.asarray(cur_gt_event), self.lo_hw)
             gt_depth_lo_flat = resize_bilinear(
                 jnp.asarray(cur_gt_depth), self.lo_hw

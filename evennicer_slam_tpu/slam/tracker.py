@@ -290,6 +290,20 @@ def _tracking_loss(
             pred_event, mask_pred = inference_event(
                 eventnet, prev_color_lo, cur_color_lo
             )
+        # prediction-quality telemetry for the divergence guard
+        # (pipeline._event_guard, extension — the reference runs the net
+        # unconditionally with no health signal, src/Tracker.py:129-157):
+        # Pearson correlation of the (stop-gradient) prediction against the
+        # GT events, plus the GT event energy so the guard can skip
+        # event-free frames where the correlation is undefined
+        p = jax.lax.stop_gradient(pred_event).ravel()
+        g = gt_event_lo.ravel()
+        pc = p - jnp.mean(p)
+        gc = g - jnp.mean(g)
+        aux["event_corr"] = jnp.sum(pc * gc) / jnp.sqrt(
+            jnp.sum(pc * pc) * jnp.sum(gc * gc) + 1e-12
+        )
+        aux["event_gt_energy"] = jnp.sum(g * g)
         # event-existence mask cross-entropy — computed and LOGGED but never
         # backpropagated, exactly like the reference ("not used, just for
         # reference", src/Tracker.py:222-224; its CE runs on the already-
@@ -491,10 +505,14 @@ def _prep_event_inputs(gt_event_integrate, gt_event, pre_gt_color, gt_depth, lo_
     """Fused per-frame event preprocessing (integration + resizes). The
     existence mask is the CURRENT frame's (any polarity nonzero — the
     dataset-level mask of src/utils/datasets.py:189-191), nearest-resized
-    like the reference's gt_mask (src/Tracker.py:139-140)."""
+    like the reference's gt_mask (src/Tracker.py:139-140). The PREVIOUS
+    color goes through the same NEAREST transform the reference applies
+    (src/Tracker.py:136,148 — the bilinear alternative is commented out
+    there); only the depth rescale is bilinear, matching
+    render_img_rescale (src/utils/Renderer.py:290)."""
     acc = gt_event_integrate + gt_event
     gt_event_lo = resize_nearest(acc, lo_hw)
-    prev_color_lo = resize_bilinear(pre_gt_color, lo_hw)
+    prev_color_lo = resize_nearest(pre_gt_color, lo_hw)
     gt_depth_lo_flat = resize_bilinear(gt_depth, lo_hw).reshape(-1)
     mask = jnp.any(gt_event != 0, axis=-1).astype(jnp.float32)
     gt_mask_lo = resize_nearest(mask, lo_hw)

@@ -56,7 +56,7 @@ MEASURE_FRAMES = 30  # 6 mapping calls, same super-block length as bench.py
 
 
 def _build(share: int, scene_dir: str, frag, measure_frames: int,
-           every_frame: int = 5):
+           every_frame: int = 5, grown: bool = False):
     import jax
     import numpy as np
 
@@ -93,6 +93,27 @@ def _build(share: int, scene_dir: str, frag, measure_frames: int,
     warm = 6
     for idx in range(warm):
         slam.step(idx)
+    if grown and every_frame < 10**9:
+        # grown-window workload fidelity (round-4 verdict Weak #1): pre-grow
+        # the registry to mapping_window_size so every measured mapping call
+        # runs K=5 device-side overlap selection + assembly + BA write-back
+        # — the workload a real Replica run reaches past frame 50 — instead
+        # of the pinned 2-frame window. Pre-grown outside the timed region
+        # (K is a traced shape; growing it mid-window would recompile), then
+        # 2 mapping calls warm the K=5/BA executables.
+        for kf_idx in (1, 2, 3, 4):
+            f = slam.frame_reader[kf_idx]
+            slam.mapper.keyframes.append(
+                kf_idx, f.color, f.depth, np.asarray(f.event),
+                slam._pose_np(kf_idx).copy(), f.c2w,
+            )
+        slam.mapper.update_ba_state()
+        assert slam.mapper.BA_active
+        warm2 = warm + 2 * every_frame
+        slam.frame_reader.preload_device(range(warm, warm2 + 1))
+        for idx in range(warm, warm2):
+            slam.step(idx)
+        warm = warm2
     slam.frame_reader.preload_device(range(warm, warm + measure_frames + 1))
     slam._flush_metrics(force=True)
 
@@ -149,6 +170,13 @@ def main():
     ap.add_argument("--pallas", action="store_true",
                     help="ENSLAM_PALLAS=1: Pallas fused decode instead of "
                          "the packed XLA path")
+    ap.add_argument("--grown", action=argparse.BooleanOptionalAction,
+                    default=True,
+                    help="measure mapping at the GROWN-window workload "
+                         "(registry pre-grown to K=5, overlap selection + "
+                         "BA active — what a real run reaches past frame "
+                         "50). --no-grown restores the pinned 2-frame "
+                         "window of rounds <= 4")
     ap.add_argument("--bound", choices=["room0", "bench"], default="room0",
                     help="scene bound: 'room0' (default) uses the REAL "
                          "Replica room0 bound (configs/Replica/room0.yaml) "
@@ -197,13 +225,15 @@ def main():
     _slam_box = [None]
 
     def measure(share: int, every: int):
-        key = (share, every)
+        grown = bool(args.grown and every < 10**9)
+        key = (share, every, grown)
         if key not in _cache:
             ms, rays, gb, slam = _build(
-                share, scene_dir, frag, args.frames, every)
+                share, scene_dir, frag, args.frames, every, grown=grown)
             _slam_box[0] = slam
             _cache[key] = (ms, rays, gb)
-            tag = "track-only" if every >= 10**9 else f"every={every}"
+            tag = "track-only" if every >= 10**9 else (
+                f"every={every}" + (" grown-K5-BA" if grown else ""))
             print(f"[project_dp] share={share} ({tag}): {ms:.1f} ms/frame "
                   f"({rays} event rays/device)", flush=True)
         return _cache[key]
@@ -225,6 +255,10 @@ def main():
 
     out = {"metric": "dp_projection_replica_room0_shape",
            "scene_bound": args.bound,
+           # grown=True: mapping measured at the K=5 overlap+BA window on
+           # the device fast path (real-workload fidelity); the per-call
+           # mapping costs below include it
+           "grown_window": bool(args.grown),
            "measured_per_device": rows, "unet_ms_full_image": round(unet_full, 2),
            "assumptions": {
                "ici_bw_bytes_per_s": ICI_BW_BYTES,

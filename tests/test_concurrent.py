@@ -177,6 +177,55 @@ class TestConcurrentPipeline:
         }
         assert _device_ids(slam2._track_grids) <= track_ids
 
+    def test_loose_grown_registry_fast_path(self, tmp_path):
+        """Concurrent mode keeps the grown-registry DEVICE fast path: with
+        >1 keyframes and overlap selection, window selection/assembly/BA
+        write-back run on the MAP group (no host pose fetch per mapping
+        call), and the tracker's init poses never consume a map-group BA
+        future."""
+        cfg = tiny_cfg(
+            tmp_path, n_frames=16, sync_method="loose",
+            parallel={"map_devices": 2},
+            mapping={"keyframe_catchup": True, "color_refine": False},
+        )
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.concurrent
+        est = slam.run(mesh=False, checkpoint=False)
+        n = slam.n_img
+        assert np.isfinite(est[:n]).all()
+        err = np.linalg.norm(
+            est[:n, :3, 3] - slam.gt_c2w_list[:n, :3, 3], axis=-1
+        )
+        assert err.max() < 0.5
+        # registry grew and BA ran on the device path
+        assert slam.mapper.BA_active
+        assert slam.n_fast_maps >= 2, (
+            "grown-window concurrent mapping fell off the async fast path"
+        )
+        # registry stacks live on the MAP group
+        map_ids = {d.id for d in slam.submeshes.map_repl.mesh.devices.ravel()}
+        kf = slam.mapper.keyframes
+        stack_ids = {
+            d.id for d in kf.device_stack()[2].devices()
+        }
+        assert stack_ids <= map_ids
+        # host rows were refreshed by the end-of-run sync
+        assert not kf.host_poses_stale
+        kf_pose = kf.frames[-1]["est_c2w"]
+        assert np.isfinite(kf_pose).all()
+
+    def test_free_grown_registry_fast_path(self, tmp_path):
+        cfg = tiny_cfg(
+            tmp_path, n_frames=10, sync_method="free",
+            parallel={"map_devices": 2},
+            mapping={"keyframe_catchup": True, "color_refine": False},
+        )
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.concurrent and slam.sync_method == "free"
+        est = slam.run(mesh=False, checkpoint=False)
+        assert np.isfinite(est[: slam.n_img]).all()
+        assert slam.n_fast_maps >= 2
+
     def test_loose_single_group_falls_back_to_strict(self, tmp_path):
         cfg = tiny_cfg(tmp_path, n_frames=4, sync_method="loose")
         slam = EvenNICERSLAM(cfg, nice=True)

@@ -602,3 +602,59 @@ class TestBundleAdjustment:
             assert not np.array_equal(
                 mapper.keyframes.frames[f]["est_c2w"], before[f]
             ), f"keyframe {f} pose should be optimized under BA"
+
+
+class TestEventDivergenceGuard:
+    """Runtime guard for an out-of-domain EventNet (extension; the reference
+    runs the net unconditionally with no health signal,
+    src/Tracker.py:129-157). The tracker emits predicted-vs-GT event
+    correlation; the pipeline warns after a sustained collapse and can fall
+    back to the analytic esim predictor."""
+
+    def _run(self, tmp_path, **event_overrides):
+        cfg = tiny_cfg(tmp_path, n_frames=8, events=True,
+                       event=event_overrides)
+        slam = EvenNICERSLAM(cfg, nice=True)
+        assert slam.use_events
+        slam.run(mesh=False, checkpoint=False)
+        return slam
+
+    def test_guard_fires_and_falls_back(self, tmp_path, capsys):
+        # threshold 2.0: correlation can never reach it, so the random-init
+        # net trips the guard deterministically after guard_window frames
+        slam = self._run(
+            tmp_path, guard=True, guard_corr_threshold=2.0,
+            guard_window=3, guard_min_gt_energy=0.0, guard_fallback="esim",
+        )
+        assert slam.guard_fired
+        assert slam.tracker.cfg.predictor == "esim"
+        assert slam.t_cfg.predictor == "esim"
+        err = capsys.readouterr().err
+        assert "EVENT GUARD" in err
+
+    def test_guard_warn_only_keeps_predictor(self, tmp_path):
+        slam = self._run(
+            tmp_path, guard=True, guard_corr_threshold=2.0,
+            guard_window=3, guard_min_gt_energy=0.0, guard_fallback="warn",
+        )
+        assert slam.guard_fired
+        assert slam.tracker.cfg.predictor == "unet"
+
+    def test_guard_quiet_when_healthy(self, tmp_path):
+        # threshold -2.0: correlation is always above it -> never fires
+        slam = self._run(
+            tmp_path, guard=True, guard_corr_threshold=-2.0,
+            guard_window=3, guard_min_gt_energy=0.0,
+        )
+        assert not slam.guard_fired
+        # the telemetry itself flowed: correlation was recorded per frame
+        assert "event_corr" in slam.tracker.last_losses
+
+    def test_guard_off_for_esim_predictor(self, tmp_path):
+        slam = self._run(
+            tmp_path, predictor="esim", guard=True,
+            guard_corr_threshold=2.0, guard_window=1,
+            guard_min_gt_energy=0.0,
+        )
+        assert not slam._guard_enabled
+        assert not slam.guard_fired
