@@ -395,6 +395,8 @@ def main():
         raise SystemExit("/root/reference not present")
     refbridge.install()
 
+    import numpy as np
+
     results = {"frames": args.frames, "modes": {}}
     if os.path.exists(args.out):
         # merge with a previous partial run (same frame count only)
@@ -405,6 +407,25 @@ def main():
                 results["modes"].update(prev.get("modes", {}))
         except (OSError, ValueError):
             pass
+
+    def _summarize(rows):
+        """mean +/- std of ATE RMSE for both sides + the distribution-level
+        ratio — n rows back every number (round-4 verdict item 3: every
+        cited comparison figure must exist in this committed JSON, with
+        enough n to support a band claim)."""
+        ref = [r["reference"]["ate"]["rmse_m"] for r in rows]
+        rep = [r["repo"]["ate"]["rmse_m"] for r in rows]
+        return {
+            "n": len(rows),
+            "reference_rmse_mean_m": float(np.mean(ref)),
+            "reference_rmse_std_m": float(np.std(ref)),
+            "repo_rmse_mean_m": float(np.mean(rep)),
+            "repo_rmse_std_m": float(np.std(rep)),
+            "repo_over_reference_mean_ratio": float(
+                np.mean(rep) / max(np.mean(ref), 1e-12)
+            ),
+        }
+
     for mode in args.modes:
         events = mode == "events"
         scene = args.scene + ("_ev" if events else "_rgbd")
@@ -434,12 +455,19 @@ def main():
                     ate_repo["rmse_m"] / max(ate_ref["rmse_m"], 1e-12)
                 ),
             })
-        results["modes"][mode] = per_seed
-        # write incrementally: a crash in a later mode must not lose
-        # completed modes' results
-        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
-        with open(args.out, "w") as f:
-            json.dump(results, f, indent=2)
+            # EXTEND prior seeds (dedup by seed: a re-run of a seed replaces
+            # its row — e.g. after a semantic change) instead of overwriting
+            # the mode; write after EVERY seed so a crash mid-batch keeps
+            # all completed pairs
+            merged = {r["seed"]: r for r in results["modes"].get(mode, [])}
+            for r in per_seed:
+                merged[r["seed"]] = r
+            rows = sorted(merged.values(), key=lambda r: r["seed"])
+            results["modes"][mode] = rows
+            results.setdefault("stats", {})[mode] = _summarize(rows)
+            os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+            with open(args.out, "w") as f:
+                json.dump(results, f, indent=2)
 
     print(json.dumps(results, indent=2))
 

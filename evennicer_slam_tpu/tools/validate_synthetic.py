@@ -58,6 +58,13 @@ def main():
                         help="--events at 0.25 scale with the per-pixel-"
                              "constant event weight (the ablation's H2 "
                              "recipe, benchmarks/event_ablation_r4.json)")
+    parser.add_argument("--guard_fallback", choices=["warn", "esim"],
+                        default="warn",
+                        help="event.guard_fallback: what the runtime "
+                             "divergence guard does when the EventNet looks "
+                             "out-of-domain (prediction-vs-GT correlation "
+                             "collapse) — 'warn' (default) or 'esim' "
+                             "(auto-switch to the analytic predictor)")
     parser.add_argument("--keyframe_every", type=int, default=None,
                         help="override mapping.keyframe_every (the coverage"
                              " trajectory pans faster than the reference's"
@@ -143,6 +150,7 @@ def main():
             "scale_factor": 0.15, "blur": True, "kernel_sizes": [9],
             "unblurred_weight": 0, "kernel_weights": [1],
             "predictor": args.predictor,
+            "guard_fallback": args.guard_fallback,
         }
         if args.hires_events:
             # the ablation's winning H2 recipe: 0.25-scale event render with
@@ -160,9 +168,12 @@ def main():
     gt = slam.gt_c2w_list
     ate = evaluate_ate(est[:, :3, 3], gt[:, :3, 3],
                        plot=os.path.join(out, "eval_ate_plot.png"))
-    print(json.dumps({"ate_rmse_m": ate["absolute_translational_error.rmse"],
-                      "ate_mean_m": ate["absolute_translational_error.mean"]}),
-          flush=True)
+    rec0 = {"ate_rmse_m": ate["absolute_translational_error.rmse"],
+            "ate_mean_m": ate["absolute_translational_error.mean"]}
+    if args.events:
+        rec0["event_guard_fired"] = bool(slam.guard_fired)
+        rec0["predictor_final"] = slam.t_cfg.predictor
+    print(json.dumps(rec0), flush=True)
 
     rec_path = os.path.join(out, "mesh", "final_mesh_eval_rec.ply")
     assert os.path.exists(rec_path), f"missing {rec_path}"
