@@ -385,9 +385,33 @@ def main():
     ap.add_argument("--modes", nargs="+", default=["rgbd", "events"],
                     choices=["rgbd", "events"])
     ap.add_argument("--seeds", type=int, nargs="+", default=[0])
+    ap.add_argument("--repo_platform", choices=["cpu", "ambient"],
+                    default="cpu",
+                    help="platform for the REPO side. 'cpu' (default) = "
+                         "f32 CPU, apples-to-apples with the reference's "
+                         "torch-CPU numerics; 'ambient' = whatever backend "
+                         "the environment provides (e.g. a TPU chip, where "
+                         "tracking uses the packed-bf16 fused decode — a "
+                         "deployed-precision comparison, not a numerics "
+                         "one)")
+    ap.add_argument("--repo_only", action="store_true",
+                    help="reuse each seed's already-measured reference row "
+                         "from --out (error if absent) and re-run only the "
+                         "repo side — e.g. to redo repo rows on a different "
+                         "--repo_platform without paying the ~10 min "
+                         "reference run per seed")
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    if args.repo_platform == "cpu":
+        # must happen BEFORE the first backend touch; a JAX_PLATFORMS env
+        # set is NOT enough when the interpreter start already imported jax
+        # against a remote accelerator platform
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.default_backend() == "cpu", (
+            "could not force the CPU backend (already initialized?)"
+        )
 
     from evennicer_slam_tpu.utils import refbridge
 
@@ -445,6 +469,42 @@ def main():
             torch_state, repo_state = build_shared_init(
                 cfg, scene, events, seed=seed
             )
+            if args.repo_only:
+                prior = {
+                    r["seed"]: r for r in results["modes"].get(mode, [])
+                }.get(seed)
+                if prior is None:
+                    raise SystemExit(
+                        f"--repo_only: no measured {mode} seed {seed} row "
+                        f"in {args.out}"
+                    )
+                ref_rec = prior["reference"]
+                ate_ref = ref_rec.get("ate")
+                print(f"[{mode} seed {seed}] reusing measured reference row",
+                      flush=True)
+                est_repo, gt2, t_repo = run_repo(cfg, repo_state, events)
+                ate_repo = _ate(est_repo, gt2)
+                print(f"[{mode} seed {seed}] repo ATE "
+                      f"{ate_repo['rmse_m']:.4f} m in {t_repo:.0f}s",
+                      flush=True)
+                rec = {"seed": seed, "reference": ref_rec,
+                       "repo": {"ate": ate_repo, "seconds": t_repo,
+                                "platform": args.repo_platform}}
+                if ate_ref is not None:
+                    rec["repo_over_reference_rmse"] = (
+                        ate_repo["rmse_m"] / max(ate_ref["rmse_m"], 1e-12)
+                    )
+                per_seed.append(rec)
+                merged = {r["seed"]: r for r in results["modes"].get(mode, [])}
+                for r in per_seed:
+                    merged[r["seed"]] = r
+                rows = sorted(merged.values(), key=lambda r: r["seed"])
+                results["modes"][mode] = rows
+                results.setdefault("stats", {})[mode] = _summarize(rows)
+                os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+                with open(args.out, "w") as f:
+                    json.dump(results, f, indent=2)
+                continue
             print(f"[{mode} seed {seed}] running reference engines "
                   "(CPU torch, threads)...", flush=True)
             try:
@@ -474,7 +534,8 @@ def main():
             rec = {
                 "seed": seed,
                 "reference": ref_rec,
-                "repo": {"ate": ate_repo, "seconds": t_repo},
+                "repo": {"ate": ate_repo, "seconds": t_repo,
+                         "platform": args.repo_platform},
             }
             if ate_ref is not None:
                 rec["repo_over_reference_rmse"] = (

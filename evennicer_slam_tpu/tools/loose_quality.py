@@ -88,6 +88,21 @@ def main():
     ap.add_argument("--seeds", type=int, nargs="+", default=[0, 1, 2])
     args = ap.parse_args()
 
+    # force the 8-virtual-device CPU platform BEFORE any backend touch —
+    # the loose config needs >= 3 devices for its track/map split, and the
+    # ambient platform may be a single remote chip (env-var overrides do not
+    # survive the interpreter-start jax import; same incantation as
+    # __graft_entry__.dryrun_multichip)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    assert len(jax.devices()) >= 3, "virtual CPU platform did not activate"
+
     import copy
 
     import numpy as np
