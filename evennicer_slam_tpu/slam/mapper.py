@@ -91,6 +91,7 @@ class MapperConfig(NamedTuple):
     esim_gain: float = 20.0
     keyframe_catchup: bool = False
     imap_decoders_lr: float = 0.0002
+    prev_resize: str = "nearest"  # see TrackerConfig.prev_resize
     stage_lrs: Tuple[Tuple[str, Tuple[float, float, float, float, float]], ...] = ()
 
     @staticmethod
@@ -170,6 +171,7 @@ class MapperConfig(NamedTuple):
             esim_gain=float(cfg.get("event", {}).get("esim_gain", 20.0)),
             keyframe_catchup=m.get("keyframe_catchup", False),
             imap_decoders_lr=m.get("imap_decoders_lr", 0.0002),
+            prev_resize=cfg.get("event", {}).get("prev_resize", "nearest"),
             stage_lrs=stage_lrs,
         )
 
@@ -948,7 +950,11 @@ class Mapper:
         lo_h, lo_w = self.lo_hw
         if use_events and pre_gt_color is not None:
             # NEAREST like the reference's transform (src/Mapper.py:444,587)
-            prev_color_lo = resize_nearest(jnp.asarray(pre_gt_color), self.lo_hw)
+            # by default; event.prev_resize: bilinear opts out (see
+            # TrackerConfig.prev_resize)
+            prev_fn = (resize_nearest if cfg.prev_resize == "nearest"
+                       else resize_bilinear)
+            prev_color_lo = prev_fn(jnp.asarray(pre_gt_color), self.lo_hw)
             gt_event_lo = resize_nearest(jnp.asarray(cur_gt_event), self.lo_hw)
             gt_depth_lo_flat = resize_bilinear(
                 jnp.asarray(cur_gt_depth), self.lo_hw

@@ -737,12 +737,14 @@ class EvenNICERSLAM:
         """Low-res GT event integral + EventNet prediction for the visual
         panels (reference Visualizer.vis_event, src/utils/Visualizer.py)."""
         from evennicer_slam_tpu.models.eventnet import inference_event
-        from evennicer_slam_tpu.ops.resize import resize_nearest
+        from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
 
         tr = self.tracker
         lo = tr.lo_hw
         gt_ev_lo = resize_nearest(tr.gt_event_integrate, lo)
-        prev_lo = resize_nearest(tr.pre_gt_color, lo)
+        prev_fn = (resize_nearest if self.t_cfg.prev_resize == "nearest"
+                   else resize_bilinear)
+        prev_lo = prev_fn(tr.pre_gt_color, lo)
         g, d = self._track_state()
         _, _, cur_lo = self.renderer.render_img_rescale(
             d, g,

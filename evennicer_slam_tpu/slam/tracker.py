@@ -116,6 +116,15 @@ class TrackerConfig(NamedTuple):
     # doubles as the oracle bound for what a perfect net could contribute
     predictor: str = "unet"
     esim_gain: float = 20.0
+    # previous-image downscale filter. "nearest" = reference-exact
+    # (src/Tracker.py:136,148 applies the NEAREST transform to
+    # pre_gt_color). "bilinear" (extension) antialiases the prev image —
+    # measurably better for the ANALYTIC esim predictor on fast-rotation
+    # scenes, where nearest aliasing noise swamps the intensity-difference
+    # signal (flagship 300-frame scene: esim 0.386 m bilinear vs 0.991 m
+    # nearest; the UNet is robust either way and prefers reference-exact
+    # inputs: 0.219 m nearest vs 1.73 m bilinear-fed-out-of-domain)
+    prev_resize: str = "nearest"
 
     @staticmethod
     def from_cfg(cfg: Dict[str, Any], use_events: bool) -> "TrackerConfig":
@@ -151,6 +160,7 @@ class TrackerConfig(NamedTuple):
             bias_alpha=float(e.get("bias_alpha", 1.0)),
             predictor=_check_predictor(e.get("predictor", "unet")),
             esim_gain=float(e.get("esim_gain", 20.0)),
+            prev_resize=_check_prev_resize(e.get("prev_resize", "nearest")),
         )
 
 
@@ -158,6 +168,14 @@ def _check_predictor(value: str) -> str:
     if value not in ("unet", "esim"):
         raise ValueError(
             f"event.predictor must be 'unet' or 'esim'; got {value!r}"
+        )
+    return value
+
+
+def _check_prev_resize(value: str) -> str:
+    if value not in ("nearest", "bilinear"):
+        raise ValueError(
+            f"event.prev_resize must be 'nearest' or 'bilinear'; got {value!r}"
         )
     return value
 
@@ -500,19 +518,22 @@ def track_frame_jit(
     return best_cam, best_c2w, losses, bias_out
 
 
-@functools.partial(jax.jit, static_argnames=("lo_hw",))
-def _prep_event_inputs(gt_event_integrate, gt_event, pre_gt_color, gt_depth, lo_hw):
+@functools.partial(jax.jit, static_argnames=("lo_hw", "prev_resize"))
+def _prep_event_inputs(gt_event_integrate, gt_event, pre_gt_color, gt_depth,
+                       lo_hw, prev_resize="nearest"):
     """Fused per-frame event preprocessing (integration + resizes). The
     existence mask is the CURRENT frame's (any polarity nonzero — the
     dataset-level mask of src/utils/datasets.py:189-191), nearest-resized
     like the reference's gt_mask (src/Tracker.py:139-140). The PREVIOUS
-    color goes through the same NEAREST transform the reference applies
+    color defaults to the same NEAREST transform the reference applies
     (src/Tracker.py:136,148 — the bilinear alternative is commented out
-    there); only the depth rescale is bilinear, matching
-    render_img_rescale (src/utils/Renderer.py:290)."""
+    there); ``event.prev_resize: bilinear`` opts into the antialiased
+    variant (see TrackerConfig.prev_resize). The depth rescale is always
+    bilinear, matching render_img_rescale (src/utils/Renderer.py:290)."""
     acc = gt_event_integrate + gt_event
     gt_event_lo = resize_nearest(acc, lo_hw)
-    prev_color_lo = resize_nearest(pre_gt_color, lo_hw)
+    prev_fn = resize_nearest if prev_resize == "nearest" else resize_bilinear
+    prev_color_lo = prev_fn(pre_gt_color, lo_hw)
     gt_depth_lo_flat = resize_bilinear(gt_depth, lo_hw).reshape(-1)
     mask = jnp.any(gt_event != 0, axis=-1).astype(jnp.float32)
     gt_mask_lo = resize_nearest(mask, lo_hw)
@@ -591,7 +612,7 @@ class Tracker:
             (self.gt_event_integrate, gt_event_lo, prev_color_lo,
              gt_depth_lo_flat, gt_mask_lo) = _prep_event_inputs(
                 self.gt_event_integrate, gt_event, self.pre_gt_color, gt_depth,
-                self.lo_hw,
+                self.lo_hw, self.cfg.prev_resize,
             )
         else:
             lo_h, lo_w = self.lo_hw

@@ -58,6 +58,13 @@ def main():
                         help="--events at 0.25 scale with the per-pixel-"
                              "constant event weight (the ablation's H2 "
                              "recipe, benchmarks/event_ablation_r4.json)")
+    parser.add_argument("--prev_resize", choices=["nearest", "bilinear"],
+                        default="nearest",
+                        help="event.prev_resize: previous-image downscale "
+                             "filter. nearest = reference-exact; bilinear "
+                             "antialiases (helps the esim predictor on "
+                             "fast-rotation scenes; see "
+                             "TrackerConfig.prev_resize)")
     parser.add_argument("--guard_fallback", choices=["warn", "esim"],
                         default="warn",
                         help="event.guard_fallback: what the runtime "
@@ -151,6 +158,7 @@ def main():
             "unblurred_weight": 0, "kernel_weights": [1],
             "predictor": args.predictor,
             "guard_fallback": args.guard_fallback,
+            "prev_resize": args.prev_resize,
         }
         if args.hires_events:
             # the ablation's winning H2 recipe: 0.25-scale event render with

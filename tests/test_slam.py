@@ -658,3 +658,43 @@ class TestEventDivergenceGuard:
         )
         assert not slam._guard_enabled
         assert not slam.guard_fired
+
+
+class TestPrevResizeKnob:
+    """event.prev_resize: 'nearest' (reference-exact default,
+    src/Tracker.py:136,148) vs 'bilinear' (extension — antialiases the prev
+    image for the analytic esim predictor on fast-rotation scenes)."""
+
+    def test_default_is_nearest_and_bilinear_differs(self, tmp_path):
+        import jax.numpy as jnp
+
+        from evennicer_slam_tpu.ops.resize import resize_bilinear, resize_nearest
+        from evennicer_slam_tpu.slam.tracker import (
+            TrackerConfig, _prep_event_inputs,
+        )
+
+        cfg = tiny_cfg(tmp_path, n_frames=2, events=True)
+        t_cfg = TrackerConfig.from_cfg(cfg, use_events=True)
+        assert t_cfg.prev_resize == "nearest"
+        cfg["event"]["prev_resize"] = "bilinear"
+        assert TrackerConfig.from_cfg(cfg, True).prev_resize == "bilinear"
+        cfg["event"]["prev_resize"] = "area"
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            TrackerConfig.from_cfg(cfg, True)
+
+        rng = np.random.default_rng(0)
+        prev = jnp.asarray(rng.uniform(size=(16, 20, 3)).astype(np.float32))
+        ev = jnp.zeros((16, 20, 2))
+        acc = jnp.zeros((16, 20, 2))
+        depth = jnp.asarray(rng.uniform(0.5, 1, (16, 20)).astype(np.float32))
+        _, _, p_near, _, _ = _prep_event_inputs(acc, ev, prev, depth, (4, 5),
+                                                "nearest")
+        _, _, p_bil, _, _ = _prep_event_inputs(acc, ev, prev, depth, (4, 5),
+                                               "bilinear")
+        np.testing.assert_allclose(
+            np.asarray(p_near), np.asarray(resize_nearest(prev, (4, 5))))
+        np.testing.assert_allclose(
+            np.asarray(p_bil), np.asarray(resize_bilinear(prev, (4, 5))))
+        assert np.abs(np.asarray(p_near) - np.asarray(p_bil)).max() > 1e-4
