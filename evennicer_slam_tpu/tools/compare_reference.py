@@ -429,6 +429,8 @@ def main():
                 prev = json.load(f)
             if prev.get("frames") == args.frames:
                 results["modes"].update(prev.get("modes", {}))
+                # carry stats of modes this invocation does not touch
+                results["stats"] = prev.get("stats", {})
         except (OSError, ValueError):
             pass
 
